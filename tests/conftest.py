@@ -1,0 +1,16 @@
+"""Test configuration: force CPU backend with 8 virtual devices.
+
+Multi-chip sharding tests run against a virtual 8-device CPU mesh
+(the standard way to validate TPU sharding without a pod).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
