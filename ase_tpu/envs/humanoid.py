@@ -1,0 +1,331 @@
+"""Humanoid environment: functional, batched, fully on-device.
+
+Capability-parity with reference ``ase/env/tasks/humanoid.py`` (+ the
+BaseTask sim lifecycle it inherits, ``base_task.py``): asset load, PD action
+mapping, full-body max observations, contact/height early termination — but as
+a *pure-function* env over pytree state, so `reset`/`step` compose into a
+jitted rollout `lax.scan` with no host round trips. Partial resets are masked
+state merges (the JAX-native analog of the reference's
+``reset(env_ids)`` indexed writes, ``humanoid.py:125-168``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ase_tpu.envs import obs as obs_kernels
+from ase_tpu.ops import quat as rot
+from ase_tpu.physics import collision, dynamics, engine, mjcf
+from ase_tpu.physics import model as M
+
+
+@struct.dataclass
+class EnvState:
+    """Batched environment state (the analog of the reference task buffers)."""
+
+    phys: dynamics.State                 # batched physics state
+    body_pos: jnp.ndarray                # (B, nb, 3)
+    body_quat: jnp.ndarray               # (B, nb, 4)
+    body_vel: jnp.ndarray                # (B, nb, 3)
+    body_ang_vel: jnp.ndarray            # (B, nb, 3)
+    contact_forces: jnp.ndarray          # (B, nb+np, 3)
+    obs: jnp.ndarray                     # (B, obs_dim)
+    rew: jnp.ndarray                     # (B,)
+    reset_buf: jnp.ndarray               # (B,) int32
+    terminate_buf: jnp.ndarray           # (B,) int32
+    progress: jnp.ndarray                # (B,) int32
+    actions: jnp.ndarray                 # (B, nd) last actions
+    rng: jnp.ndarray                     # scalar PRNG key
+    aux: Dict[str, Any]                  # task/AMP extensions (pytree dict)
+
+
+class Humanoid:
+    """Config-driven humanoid env. Methods are pure: state in, state out."""
+
+    def __init__(self, cfg: Dict[str, Any], headless: bool = True):
+        self.cfg = cfg
+        env_cfg = cfg["env"]
+        self.num_envs = int(env_cfg["numEnvs"])
+        self.max_episode_length = int(env_cfg["episodeLength"])
+        self._pd_control = bool(env_cfg.get("pdControl", True))
+        self.power_scale = float(env_cfg.get("powerScale", 1.0))
+        self.control_freq_inv = int(env_cfg.get("controlFrequencyInv", 2))
+        self._local_root_obs = bool(env_cfg["localRootObs"])
+        self._root_height_obs = bool(env_cfg.get("rootHeightObs", True))
+        self._enable_early_termination = bool(env_cfg["enableEarlyTermination"])
+        self._termination_height = float(env_cfg.get("terminationHeight", 0.15))
+
+        asset_root = env_cfg["asset"]["assetRoot"]
+        self.asset_file = env_cfg["asset"]["assetFileName"]
+        asset_path = mjcf.find_asset(asset_root, self.asset_file)
+        self.model = self._build_model(asset_path)
+
+        sim = cfg.get("sim", {})
+        self.sim_dt = float(sim.get("dt", 1.0 / 60.0))
+        self.dt = self.control_freq_inv * self.sim_dt
+        physx = sim.get("physx", {})
+        self.sim_cfg = engine.SimConfig(
+            dt=self.sim_dt,
+            substeps=int(sim.get("substeps", 2)),
+            solver=engine.solver.SolverConfig(
+                iterations=2 * int(physx.get("num_position_iterations", 4)),
+                max_depenetration_velocity=float(
+                    physx.get("max_depenetration_velocity", 10.0)
+                ),
+            ),
+            max_contacts=int(env_cfg.get("maxContacts", 24)),
+            enable_self_collision=bool(env_cfg.get("enableSelfCollision", True)),
+            torque_control=not self._pd_control,
+            power_scale=self.power_scale,
+        )
+        plane = env_cfg.get("plane", {})
+        self.model = self.model.replace(
+            plane_friction=jnp.asarray(
+                float(plane.get("staticFriction", 1.0)), dtype=jnp.float32
+            )
+        )
+
+        self._pairs = collision.collision_pairs(
+            self.model, self.sim_cfg.enable_self_collision
+        )
+
+        key_bodies = env_cfg["keyBodies"]
+        contact_bodies = env_cfg["contactBodies"]
+        self._key_body_ids = jnp.asarray(
+            [self.model.body_index(b) for b in key_bodies], dtype=jnp.int32
+        )
+        self._contact_body_ids = jnp.asarray(
+            [self.model.body_index(b) for b in contact_bodies], dtype=jnp.int32
+        )
+
+        self._build_pd_action_offset_scale()
+        self._build_termination_heights()
+
+        self._initial_root_pos = jnp.array([0.0, 0.0, 0.89])
+        self._initial_root_quat = rot.quat_identity(())
+
+        self.headless = headless
+
+    # -- static sizes (reference get_obs_size/get_action_size) ---------------
+
+    def _build_model(self, asset_path: str) -> M.Model:
+        return mjcf.load_mjcf(asset_path)
+
+    def get_obs_size(self) -> int:
+        return 1 + self.model.nb * (3 + 6 + 3 + 3) - 3
+
+    def get_action_size(self) -> int:
+        return self.model.nd
+
+    @property
+    def num_obs(self) -> int:
+        return self.get_obs_size()
+
+    @property
+    def num_actions(self) -> int:
+        return self.get_action_size()
+
+    # -- construction helpers ------------------------------------------------
+
+    def _build_pd_action_offset_scale(self):
+        """Reference humanoid.py:314-359 semantics."""
+        model = self.model
+        lim_low = np.asarray(model.dof_limit_lo).copy()
+        lim_high = np.asarray(model.dof_limit_hi).copy()
+        offsets = model.dof_offsets
+        for j in range(len(offsets) - 1):
+            off = offsets[j]
+            size = offsets[j + 1] - off
+            if size == 3:
+                scale = max(
+                    np.max(np.abs(lim_low[off : off + 3])),
+                    np.max(np.abs(lim_high[off : off + 3])),
+                )
+                scale = min(1.2 * scale, np.pi)
+                lim_low[off : off + 3] = -scale
+                lim_high[off : off + 3] = scale
+            else:
+                mid = 0.5 * (lim_high[off] + lim_low[off])
+                scale = 0.7 * (lim_high[off] - lim_low[off])
+                lim_low[off] = mid - scale
+                lim_high[off] = mid + scale
+        self._pd_action_offset = jnp.asarray(0.5 * (lim_high + lim_low), dtype=jnp.float32)
+        self._pd_action_scale = jnp.asarray(0.5 * (lim_high - lim_low), dtype=jnp.float32)
+
+    def _build_termination_heights(self):
+        """Reference humanoid.py:203-219."""
+        heights = np.full(self.model.nb, self._termination_height, dtype=np.float32)
+        head_id = self.model.body_index("head")
+        heights[head_id] = max(0.3, heights[head_id])
+        if "sword_shield" in self.asset_file:
+            left_arm = self.model.body_index("left_lower_arm")
+            heights[left_arm] = max(0.32, heights[left_arm])
+        self._termination_heights = jnp.asarray(heights)
+
+    # -- default / initial states -------------------------------------------
+
+    def default_phys_state(self, batch: int) -> dynamics.State:
+        one = dynamics.default_state(self.model)
+        one = one._replace(root_pos=self._initial_root_pos, root_quat=self._initial_root_quat)
+        return jax.tree_util.tree_map(
+            lambda x: jnp.tile(x[None], (batch,) + (1,) * x.ndim), one
+        )
+
+    def initial_state(self, rng: jnp.ndarray) -> EnvState:
+        B = self.num_envs
+        phys = self.default_phys_state(B)
+        state = EnvState(
+            phys=phys,
+            body_pos=jnp.zeros((B, self.model.nb, 3)),
+            body_quat=jnp.tile(rot.quat_identity(())[None, None], (B, self.model.nb, 1)),
+            body_vel=jnp.zeros((B, self.model.nb, 3)),
+            body_ang_vel=jnp.zeros((B, self.model.nb, 3)),
+            contact_forces=jnp.zeros((B, self.model.nb + self.model.num_props, 3)),
+            obs=jnp.zeros((B, self.get_obs_size())),
+            rew=jnp.zeros(B),
+            reset_buf=jnp.zeros(B, jnp.int32),
+            terminate_buf=jnp.zeros(B, jnp.int32),
+            progress=jnp.zeros(B, jnp.int32),
+            actions=jnp.zeros((B, self.get_action_size())),
+            rng=rng,
+            aux=self._initial_aux(B),
+        )
+        state = self._refresh_kinematics(state)
+        state = self._post_reset(state, jnp.ones(B, bool))
+        return state
+
+    def _initial_aux(self, B: int) -> Dict[str, Any]:
+        return {}
+
+    # -- kinematic refresh (the analog of refresh_*_tensor views) ------------
+
+    def _refresh_kinematics(self, state: EnvState) -> EnvState:
+        kin = jax.vmap(lambda s: dynamics.fk(self.model, s))(state.phys)
+        return state.replace(
+            body_pos=kin.body_pos,
+            body_quat=kin.body_quat,
+            body_vel=kin.body_vel[..., 3:6],
+            body_ang_vel=kin.body_vel[..., 0:3],
+        )
+
+    # -- resets ---------------------------------------------------------------
+
+    def reset_done(self, state: EnvState) -> EnvState:
+        """Partial reset of all envs whose reset_buf is set (masked merge)."""
+        mask = state.reset_buf > 0
+        return self._reset_envs(state, mask)
+
+    def _reset_envs(self, state: EnvState, mask: jnp.ndarray) -> EnvState:
+        new_state, mask = self._reset_actors(state, mask)
+        state = _masked_merge_phys(state, new_state, mask)
+        state = state.replace(
+            progress=jnp.where(mask, 0, state.progress),
+            reset_buf=jnp.where(mask, 0, state.reset_buf),
+            terminate_buf=jnp.where(mask, 0, state.terminate_buf),
+        )
+        state = self._refresh_kinematics(state)
+        state = self._post_reset(state, mask)
+        return state
+
+    def _reset_actors(self, state: EnvState, mask) -> Tuple[EnvState, jnp.ndarray]:
+        """Produce candidate reset states for every env (selected by mask)."""
+        B = self.num_envs
+        phys = self.default_phys_state(B)
+        return state.replace(phys=phys), mask
+
+    def _post_reset(self, state: EnvState, mask: jnp.ndarray) -> EnvState:
+        obs = self._compute_observations(state)
+        return state.replace(obs=jnp.where(mask[:, None], obs, state.obs))
+
+    # -- stepping -------------------------------------------------------------
+
+    def pre_physics_step(self, state: EnvState, actions: jnp.ndarray) -> Tuple[EnvState, jnp.ndarray]:
+        if self._pd_control:
+            tgt = self._pd_action_offset[None] + self._pd_action_scale[None] * actions
+        else:
+            tgt = actions
+        return state.replace(actions=actions), tgt
+
+    def step(self, state: EnvState, actions: jnp.ndarray) -> EnvState:
+        actions = jnp.clip(actions, -1.0, 1.0)
+        state, tgt = self.pre_physics_step(state, actions)
+
+        phys = state.phys
+        forces = state.contact_forces
+        step_fn = jax.vmap(
+            lambda s, a: engine.step(self.model, self.sim_cfg, self._pairs, s, a)
+        )
+        for _ in range(self.control_freq_inv):
+            out = step_fn(phys, tgt)
+            phys = out.state
+        state = state.replace(
+            phys=phys,
+            body_pos=out.body_pos,
+            body_quat=out.body_quat,
+            body_vel=out.body_vel,
+            body_ang_vel=out.body_ang_vel,
+            contact_forces=out.contact_forces,
+        )
+        state = self.post_physics_step(state)
+        return state
+
+    def post_physics_step(self, state: EnvState) -> EnvState:
+        state = state.replace(progress=state.progress + 1)
+        state = self._update_aux(state)
+        obs = self._compute_observations(state)
+        rew = self._compute_reward(state)
+        reset, term = self._compute_reset(state)
+        return state.replace(obs=obs, rew=rew, reset_buf=reset, terminate_buf=term)
+
+    def _update_aux(self, state: EnvState) -> EnvState:
+        return state
+
+    # -- obs/reward/reset ------------------------------------------------------
+
+    def _compute_humanoid_obs(self, state: EnvState) -> jnp.ndarray:
+        return obs_kernels.compute_humanoid_observations_max(
+            state.body_pos, state.body_quat, state.body_vel, state.body_ang_vel,
+            self._local_root_obs, self._root_height_obs,
+        )
+
+    def _compute_observations(self, state: EnvState) -> jnp.ndarray:
+        return self._compute_humanoid_obs(state)
+
+    def _compute_reward(self, state: EnvState) -> jnp.ndarray:
+        return jnp.ones(self.num_envs)
+
+    def _compute_reset(self, state: EnvState) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return obs_kernels.compute_humanoid_reset(
+            state.progress,
+            state.contact_forces[:, : self.model.nb],
+            self._contact_body_ids,
+            state.body_pos,
+            float(self.max_episode_length),
+            self._enable_early_termination,
+            self._termination_heights,
+        )
+
+    # -- misc -----------------------------------------------------------------
+
+    def amp_obs_size(self) -> int:
+        return 0
+
+    def split_rng(self, state: EnvState, n: int = 1):
+        keys = jax.random.split(state.rng, n + 1)
+        return state.replace(rng=keys[0]), keys[1:]
+
+
+def _masked_merge_phys(state: EnvState, new_state: EnvState, mask: jnp.ndarray) -> EnvState:
+    """Merge physics state of new_state into state where mask is set."""
+
+    def merge(a, b):
+        m = mask.reshape(mask.shape + (1,) * (a.ndim - 1))
+        return jnp.where(m, b, a)
+
+    merged = jax.tree_util.tree_map(merge, state.phys, new_state.phys)
+    return state.replace(phys=merged)

@@ -1,0 +1,486 @@
+"""CommonAgent: the PPO core (reference ``ase/learning/common_agent.py``).
+
+Design: instead of a Python training loop calling into torch ops, the entire
+epoch — 32-step rollout (with masked partial resets and reference-state init),
+GAE with termination-aware next-value bootstraps, advantage normalization,
+and 6×minibatch PPO updates — is ONE jitted pure function
+``train_epoch(train_state, env_state) -> (train_state, env_state, metrics)``.
+Env state, experience tensors, normalizer stats, optimizer state and RNG never
+leave the device (SURVEY §7 design rule: no host round trips inside the
+epoch).
+
+Loss semantics follow the reference exactly: clipped surrogate
+(common_agent.py:505-519), unclipped value MSE ×critic_coef (521-534), soft
+bound loss ×bounds_loss_coef (456-464), GAE with stored next_values
+(437-449), value/obs running-mean-std parity with rl_games train/eval modes.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ase_tpu.learning.running_mean_std import RunningMeanStd
+from ase_tpu.models import networks
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    obs_rms: RunningMeanStd
+    value_rms: RunningMeanStd
+    rng: jnp.ndarray
+    epoch: jnp.ndarray        # int32
+    frame: jnp.ndarray        # int32
+    extra: Dict[str, Any]     # subclass state (AMP buffers, latents, ...)
+
+
+class CommonAgent:
+    """Builds and runs the jitted PPO train epoch for a functional env."""
+
+    def __init__(self, env, cfg_train: Dict[str, Any], output_dir: str = "output"):
+        self.env = env
+        self.cfg_train = cfg_train
+        params = cfg_train["params"]
+        config = params["config"]
+        self.config = config
+        self.output_dir = output_dir
+
+        self.num_actors = env.num_envs
+        self.horizon_length = int(config["horizon_length"])
+        self.minibatch_size = int(config["minibatch_size"])
+        self.mini_epochs = int(config["mini_epochs"])
+        self.gamma = float(config["gamma"])
+        self.tau = float(config["tau"])
+        self.e_clip = float(config["e_clip"])
+        self.critic_coef = float(config["critic_coef"])
+        self.bounds_loss_coef = float(config.get("bounds_loss_coef", 0.0))
+        self.entropy_coef = float(config.get("entropy_coef", 0.0))
+        self.grad_norm = float(config.get("grad_norm", 1.0))
+        self.truncate_grads = bool(config.get("truncate_grads", False))
+        self.normalize_input = bool(config.get("normalize_input", True))
+        self.normalize_value = bool(config.get("normalize_value", True))
+        self.normalize_advantage = bool(config.get("normalize_advantage", True))
+        self.learning_rate = float(config["learning_rate"])
+        self.max_epochs = int(config.get("max_epochs", 10000))
+        self.save_frequency = int(config.get("save_frequency", 50))
+
+        self.batch_size = self.horizon_length * self.num_actors
+        assert self.batch_size % self.minibatch_size == 0, (
+            f"batch {self.batch_size} % minibatch {self.minibatch_size} != 0"
+        )
+        self.num_minibatches = self.batch_size // self.minibatch_size
+
+        self.obs_dim = env.get_obs_size()
+        self.action_dim = self._actions_num()
+        self.network = self._build_network()
+
+        tx = optax.adam(self.learning_rate, eps=1e-8)
+        if self.truncate_grads:
+            tx = optax.chain(optax.clip_by_global_norm(self.grad_norm), tx)
+        self.optimizer = tx
+
+        self._train_epoch_jit = None
+
+    # -- overridables ---------------------------------------------------------
+
+    def _actions_num(self) -> int:
+        return self.env.get_action_size()
+
+    def _build_network(self):
+        raise NotImplementedError
+
+    def _net_init_args(self, rng):
+        raise NotImplementedError
+
+    def _init_extra(self, rng) -> Dict[str, Any]:
+        return {}
+
+    def _actor_sigma(self, params, obs_n, extra):
+        """(mu, sigma) for the normalized obs batch."""
+        raise NotImplementedError
+
+    def _critic(self, params, obs_n, extra):
+        raise NotImplementedError
+
+    # -- state ----------------------------------------------------------------
+
+    def init_train_state(self, rng: jnp.ndarray) -> TrainState:
+        k1, k2, k3 = jax.random.split(rng, 3)
+        params = self.network.init(k1, *self._net_init_args(k2))
+        return TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            obs_rms=RunningMeanStd.create((self.obs_dim,)),
+            value_rms=RunningMeanStd.create((1,)),
+            rng=k3,
+            epoch=jnp.asarray(0, jnp.int32),
+            frame=jnp.asarray(0, jnp.int32),
+            extra=self._init_extra(rng),
+        )
+
+    # -- obs/value preprocessing (rl_games RunningMeanStd semantics) ----------
+
+    def _preproc_obs(self, ts: TrainState, obs, update: bool):
+        if not self.normalize_input:
+            return ts, obs
+        rms = ts.obs_rms
+        if update:
+            rms = rms.update(obs)
+            ts = ts.replace(obs_rms=rms)
+        return ts, rms.normalize(obs)
+
+    def _denorm_value(self, ts: TrainState, v):
+        if not self.normalize_value:
+            return v
+        return ts.value_rms.denormalize(v)
+
+    # -- policy sampling -------------------------------------------------------
+
+    def _neglogp(self, actions, mu, log_sigma):
+        sigma = jnp.exp(log_sigma)
+        return (
+            0.5 * jnp.sum(jnp.square((actions - mu) / sigma), axis=-1)
+            + 0.5 * np.log(2.0 * np.pi) * actions.shape[-1]
+            + jnp.sum(log_sigma, axis=-1)
+        )
+
+    def _entropy(self, log_sigma):
+        return jnp.sum(log_sigma + 0.5 * np.log(2.0 * np.pi * np.e), axis=-1)
+
+    def _policy_kl(self, mu, log_sigma, old_mu, old_log_sigma):
+        """Analytic diagonal-gaussian KL (rl_games torch_ext.policy_kl)."""
+        s, so = jnp.exp(log_sigma), jnp.exp(old_log_sigma)
+        kl = (
+            old_log_sigma - log_sigma
+            + (jnp.square(so) + jnp.square(mu - old_mu)) / (2.0 * jnp.square(s))
+            - 0.5
+        )
+        return jnp.mean(jnp.sum(kl, axis=-1))
+
+    # -- rollout hooks ---------------------------------------------------------
+
+    def _pre_rollout_step(self, ts: TrainState, env_state, roll):
+        """Per-step hook before action selection (latent updates etc.)."""
+        return ts, env_state, roll
+
+    def _init_rollout_carry(self, ts: TrainState, env_state) -> Dict[str, Any]:
+        return {}
+
+    def _record_step(self, ts, env_state, roll, rec):
+        """Extend the per-step record dict (AMP obs, latents, ...)."""
+        return rec
+
+    def _env_step(self, ts: TrainState, env_state, actions, roll):
+        """One env transition (HRL overrides with the 5-step LLC loop)."""
+        env_state = self.env.step(env_state, actions)
+        rewards = env_state.rew
+        infos = {}
+        return ts, env_state, rewards, infos, roll
+
+    def _rand_action_mask(self, ts, rng):
+        return jnp.ones(self.num_actors)
+
+    # -- rollout ---------------------------------------------------------------
+
+    def _rollout(self, ts: TrainState, env_state):
+        def step_fn(carry, _):
+            ts, env_state, roll = carry
+            env_state = self.env.reset_done(env_state)
+            ts, env_state, roll = self._pre_rollout_step(ts, env_state, roll)
+
+            obs = env_state.obs
+            obs_n = ts.obs_rms.normalize(obs) if self.normalize_input else obs
+
+            ts_rng, k_act, k_mask = jax.random.split(ts.rng, 3)
+            ts = ts.replace(rng=ts_rng)
+
+            mu, log_sigma = self._actor_sigma(ts.params, obs_n, roll)
+            value = self._critic(ts.params, obs_n, roll)
+            value = self._denorm_value(ts, value)
+
+            noise = jax.random.normal(k_act, mu.shape)
+            sampled = mu + jnp.exp(log_sigma) * noise
+            rand_mask = self._rand_action_mask(ts, k_mask)
+            actions = jnp.where(rand_mask[:, None] > 0, sampled, mu)
+            neglogp = self._neglogp(actions, mu, log_sigma)
+
+            ts, env_state, rewards, infos, roll = self._env_step(
+                ts, env_state, actions, roll
+            )
+            dones = env_state.reset_buf.astype(jnp.float32)
+            terminated = env_state.terminate_buf.astype(jnp.float32)
+
+            next_obs_n = (
+                ts.obs_rms.normalize(env_state.obs)
+                if self.normalize_input else env_state.obs
+            )
+            next_value = self._critic(ts.params, next_obs_n, roll)
+            next_value = self._denorm_value(ts, next_value)
+            next_value = next_value * (1.0 - terminated[:, None])
+
+            rec = {
+                "obs": obs,
+                "actions": actions,
+                "mu": mu,
+                "sigma": jnp.broadcast_to(log_sigma, mu.shape),
+                "neglogp": neglogp,
+                "values": value,
+                "rewards": rewards[:, None],
+                "dones": dones,
+                "next_values": next_value,
+                "rand_action_mask": rand_mask,
+            }
+            rec = self._record_step(ts, env_state, roll, rec)
+            return (ts, env_state, roll), rec
+
+        roll0 = self._init_rollout_carry(ts, env_state)
+        (ts, env_state, roll), batch = jax.lax.scan(
+            step_fn, (ts, env_state, roll0), None, length=self.horizon_length
+        )
+        return ts, env_state, roll, batch
+
+    # -- GAE (reference discount_values, common_agent.py:437-449) --------------
+
+    def _discount_values(self, dones, values, rewards, next_values):
+        def scan_fn(lastgaelam, xs):
+            done, value, reward, next_value = xs
+            not_done = (1.0 - done)[:, None]
+            delta = reward + self.gamma * next_value - value
+            lastgaelam = delta + self.gamma * self.tau * not_done * lastgaelam
+            return lastgaelam, lastgaelam
+
+        init = jnp.zeros_like(values[0])
+        _, advs = jax.lax.scan(
+            scan_fn, init, (dones, values, rewards, next_values), reverse=True
+        )
+        return advs
+
+    # -- rewards hook (AMP/ASE override) ---------------------------------------
+
+    def _process_rewards(self, ts: TrainState, batch) -> Tuple[TrainState, Dict]:
+        return ts, batch
+
+    def _prepare_extra_dataset(self, ts, batch, dataset):
+        return ts, dataset
+
+    # -- losses ----------------------------------------------------------------
+
+    def _actor_loss(self, old_neglogp, neglogp, advantage):
+        ratio = jnp.exp(old_neglogp - neglogp)
+        surr1 = advantage * ratio
+        surr2 = advantage * jnp.clip(ratio, 1.0 - self.e_clip, 1.0 + self.e_clip)
+        a_loss = jnp.maximum(-surr1, -surr2)
+        clipped = (jnp.abs(ratio - 1.0) > self.e_clip).astype(jnp.float32)
+        return a_loss, clipped
+
+    def _critic_loss(self, old_values, values, returns):
+        return jnp.square(returns - values)
+
+    def _bound_loss(self, mu):
+        if self.bounds_loss_coef == 0:
+            return jnp.zeros(mu.shape[:-1])
+        soft = 1.0
+        hi = jnp.square(jnp.maximum(mu - soft, 0.0))
+        lo = jnp.square(jnp.minimum(mu + soft, 0.0))
+        return jnp.sum(hi + lo, axis=-1)
+
+    def _loss(self, params, ts: TrainState, mb: Dict[str, jnp.ndarray]):
+        """Minibatch loss; subclasses extend via _extra_loss."""
+        obs_n = mb["obs_n"]
+        mu, log_sigma = self._actor_sigma(params, obs_n, mb)
+        values = self._critic(params, obs_n, mb)
+        neglogp = self._neglogp(mb["actions"], mu, log_sigma)
+
+        a_loss, a_clipped = self._actor_loss(mb["neglogp"], neglogp, mb["advantages"])
+        c_loss = self._critic_loss(mb["values"], values, mb["returns"])
+        b_loss = self._bound_loss(mu)
+        entropy = self._entropy(log_sigma)
+
+        rmask = mb["rand_action_mask"]
+        rsum = jnp.maximum(jnp.sum(rmask), 1.0)
+        a_loss_m = jnp.sum(rmask * a_loss) / rsum
+        b_loss_m = jnp.sum(rmask * b_loss) / rsum
+        ent_m = jnp.sum(rmask * entropy) / rsum
+        c_loss_m = jnp.mean(c_loss)
+
+        loss = (
+            a_loss_m
+            + self.critic_coef * c_loss_m
+            - self.entropy_coef * ent_m
+            + self.bounds_loss_coef * b_loss_m
+        )
+
+        info = {
+            "a_loss": a_loss_m,
+            "c_loss": c_loss_m,
+            "b_loss": b_loss_m,
+            "entropy": ent_m,
+            "clip_frac": jnp.sum(rmask * a_clipped) / rsum,
+            "mu": mu,
+            "sigma": log_sigma,
+        }
+        loss, info = self._extra_loss(loss, params, ts, mb, info)
+        return loss, info
+
+    def _extra_loss(self, loss, params, ts, mb, info):
+        return loss, info
+
+    # -- dataset ---------------------------------------------------------------
+
+    def _prepare_dataset(self, ts: TrainState, batch):
+        T, B = self.horizon_length, self.num_actors
+
+        def flat(x):
+            return x.reshape((T * B,) + x.shape[2:])
+
+        values = flat(batch["values"])
+        returns = flat(batch["returns"])
+
+        advantages = jnp.sum(returns - values, axis=1)
+        rmask = flat(batch["rand_action_mask"])
+        if self.normalize_advantage:
+            advantages = self._normalize_adv(advantages, rmask)
+
+        if self.normalize_value:
+            vrms = ts.value_rms.update(values).update(returns)
+            ts = ts.replace(value_rms=vrms)
+            values = vrms.normalize(values, clip=jnp.inf)
+            returns = vrms.normalize(returns, clip=jnp.inf)
+
+        obs = flat(batch["obs"])
+        if self.normalize_input:
+            ts = ts.replace(obs_rms=ts.obs_rms.update(obs))
+            obs_n = ts.obs_rms.normalize(obs)
+        else:
+            obs_n = obs
+
+        dataset = {
+            "obs_n": obs_n,
+            "actions": flat(batch["actions"]),
+            "neglogp": flat(batch["neglogp"]),
+            "values": values,
+            "returns": returns,
+            "advantages": advantages,
+            "mu": flat(batch["mu"]),
+            "sigma": flat(batch["sigma"]),
+            "rand_action_mask": rmask,
+        }
+        ts, dataset = self._prepare_extra_dataset(ts, batch, dataset)
+        return ts, dataset
+
+    def _normalize_adv(self, advantages, mask):
+        """Masked advantage normalization (torch_ext.normalization_with_masks)."""
+        msum = jnp.maximum(jnp.sum(mask), 1.0)
+        mean = jnp.sum(advantages * mask) / msum
+        var = jnp.sum(mask * jnp.square(advantages - mean)) / msum
+        return (advantages - mean) / (jnp.sqrt(var) + 1e-8)
+
+    # -- the jitted epoch -------------------------------------------------------
+
+    def _train_epoch_impl(self, ts: TrainState, env_state):
+        ts, env_state, roll, batch = self._rollout(ts, env_state)
+
+        ts, batch = self._process_rewards(ts, batch)
+
+        advs = self._discount_values(
+            batch["dones"], batch["values"], batch["rewards"], batch["next_values"]
+        )
+        batch["returns"] = advs + batch["values"]
+
+        ts, dataset = self._prepare_dataset(ts, batch)
+
+        def minibatch_update(carry, idx):
+            ts = carry
+            mb = jax.tree_util.tree_map(lambda x: x[idx], dataset)
+            ts, mb = self._preproc_minibatch(ts, mb)
+            (loss, info), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                ts.params, ts, mb
+            )
+            updates, opt_state = self.optimizer.update(grads, ts.opt_state, ts.params)
+            params = optax.apply_updates(ts.params, updates)
+            kl = self._policy_kl(info["mu"], info["sigma"], mb["mu"], mb["sigma"])
+            ts = ts.replace(params=params, opt_state=opt_state)
+            metrics = {k: v for k, v in info.items() if jnp.ndim(v) == 0}
+            metrics["kl"] = kl
+            metrics["loss"] = loss
+            return ts, metrics
+
+        def mini_epoch(carry, _):
+            ts = carry
+            rng, k = jax.random.split(ts.rng)
+            ts = ts.replace(rng=rng)
+            perm = jax.random.permutation(k, self.batch_size)
+            idxs = perm.reshape(self.num_minibatches, self.minibatch_size)
+            ts, metrics = jax.lax.scan(minibatch_update, ts, idxs)
+            return ts, metrics
+
+        ts, metrics = jax.lax.scan(mini_epoch, ts, None, length=self.mini_epochs)
+        metrics = jax.tree_util.tree_map(jnp.mean, metrics)
+        metrics["reward_mean"] = jnp.mean(batch["rewards"])
+        metrics["ep_len_mean"] = jnp.mean(env_state.progress.astype(jnp.float32))
+        ts = ts.replace(
+            epoch=ts.epoch + 1, frame=ts.frame + self.batch_size
+        )
+        ts = self._post_epoch(ts, batch)
+        return ts, env_state, metrics
+
+    def _preproc_minibatch(self, ts, mb):
+        """Hook: update RMS stats from minibatch inputs (AMP obs etc.)."""
+        return ts, mb
+
+    def _post_epoch(self, ts: TrainState, batch) -> TrainState:
+        return ts
+
+    @property
+    def train_epoch(self):
+        if self._train_epoch_jit is None:
+            self._train_epoch_jit = jax.jit(self._train_epoch_impl, donate_argnums=(0, 1))
+        return self._train_epoch_jit
+
+    # -- outer loop (host side: logging, checkpoints) ---------------------------
+
+    def train(self, max_epochs: int = None, writer=None, log_every: int = 1):
+        from ase_tpu.learning import checkpoint as ckpt
+
+        max_epochs = max_epochs or self.max_epochs
+        rng = jax.random.PRNGKey(int(self.cfg_train["params"].get("seed", 0)))
+        k1, k2 = jax.random.split(rng)
+        ts = self.init_train_state(k1)
+        env_state = self.env.initial_state(k2)
+
+        os.makedirs(self.output_dir, exist_ok=True)
+        name = self.config.get("name", "Humanoid")
+        start = time.time()
+        for epoch in range(max_epochs):
+            t0 = time.time()
+            ts, env_state, metrics = self.train_epoch(ts, env_state)
+            metrics = jax.device_get(metrics)
+            dt_wall = time.time() - t0
+            fps = self.batch_size / dt_wall
+            if epoch % log_every == 0:
+                msg = " ".join(
+                    f"{k}:{float(np.asarray(v)):.4f}" for k, v in sorted(metrics.items())
+                    if np.ndim(v) == 0
+                )
+                print(f"epoch {epoch} fps:{fps:.0f} {msg}", flush=True)
+            if writer is not None:
+                frame = int(jax.device_get(ts.frame))
+                for k, v in metrics.items():
+                    if np.ndim(v) == 0:
+                        writer.add_scalar(f"train/{k}", float(v), frame)
+                writer.add_scalar("performance/total_fps", fps, frame)
+            if self.save_frequency > 0 and (epoch + 1) % self.save_frequency == 0:
+                ckpt.save(os.path.join(self.output_dir, f"{name}.ckpt"), ts)
+        ckpt.save(os.path.join(self.output_dir, f"{name}.ckpt"), ts)
+        print(f"training done in {time.time()-start:.1f}s")
+        return ts, env_state

@@ -1,0 +1,60 @@
+"""Fixed-size device-resident replay buffer (reference learning/replay_buffer.py).
+
+A flat ring buffer over a single feature tensor, stored on device and
+manipulated inside jit (masked dynamic writes, uniform sampling). The
+reference samples without replacement via a shuffled cursor; we use uniform
+random indices — statistically equivalent for buffers ≫ batch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class ReplayBuffer:
+    data: jnp.ndarray        # (capacity, dim)
+    head: jnp.ndarray        # scalar int32 — next write position
+    total_count: jnp.ndarray # scalar int32 — total stored ever
+
+    @staticmethod
+    def create(capacity: int, dim: int, dtype=jnp.float32) -> "ReplayBuffer":
+        return ReplayBuffer(
+            data=jnp.zeros((capacity, dim), dtype),
+            head=jnp.asarray(0, jnp.int32),
+            total_count=jnp.asarray(0, jnp.int32),
+        )
+
+    @property
+    def capacity(self) -> int:
+        return self.data.shape[0]
+
+    def store(self, batch: jnp.ndarray, mask=None) -> "ReplayBuffer":
+        """Write `batch` rows at the ring head; `mask` selects valid rows
+        (invalid rows are skipped by compacting valid rows to the front)."""
+        n = batch.shape[0]
+        if mask is not None:
+            # stable-compact valid rows to the front; invalid rows overwrite
+            # slots that will be re-claimed by the head not advancing past them
+            order = jnp.argsort(~mask)  # valid rows first
+            batch = batch[order]
+            n_valid = jnp.sum(mask).astype(jnp.int32)
+        else:
+            n_valid = jnp.asarray(n, jnp.int32)
+        idx = (self.head + jnp.arange(n)) % self.capacity
+        write_mask = jnp.arange(n) < n_valid
+        data = self.data.at[idx].set(
+            jnp.where(write_mask[:, None], batch, self.data[idx])
+        )
+        return ReplayBuffer(
+            data=data,
+            head=(self.head + n_valid) % self.capacity,
+            total_count=self.total_count + n_valid,
+        )
+
+    def sample(self, rng: jax.Array, n: int) -> jnp.ndarray:
+        limit = jnp.clip(self.total_count, 1, self.capacity)
+        idx = jax.random.randint(rng, (n,), 0, limit)
+        return self.data[idx]
