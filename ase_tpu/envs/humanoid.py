@@ -20,7 +20,7 @@ from flax import struct
 
 from ase_tpu.envs import obs as obs_kernels
 from ase_tpu.ops import quat as rot
-from ase_tpu.physics import collision, dynamics, engine, mjcf
+from ase_tpu.physics import collision2, dynamics, engine, mjcf
 from ase_tpu.physics import model as M
 
 
@@ -90,7 +90,7 @@ class Humanoid:
             )
         )
 
-        self._pairs = collision.collision_pairs(
+        self._tables = collision2.build_tables(
             self.model, self.sim_cfg.enable_self_collision
         )
 
@@ -258,7 +258,7 @@ class Humanoid:
         phys = state.phys
         forces = state.contact_forces
         step_fn = jax.vmap(
-            lambda s, a: engine.step(self.model, self.sim_cfg, self._pairs, s, a)
+            lambda s, a: engine.step(self.model, self.sim_cfg, self._tables, s, a)
         )
         for _ in range(self.control_freq_inv):
             out = step_fn(phys, tgt)

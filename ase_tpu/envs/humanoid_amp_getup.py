@@ -48,7 +48,7 @@ class HumanoidAMPGetup(HumanoidAMP):
         tgt = self._pd_action_offset[None] + self._pd_action_scale[None] * rand_actions
 
         step_fn = jax.vmap(
-            lambda s, a: engine.step(self.model, self.sim_cfg, self._pairs, s, a).state
+            lambda s, a: engine.step(self.model, self.sim_cfg, self._tables, s, a).state
         )
 
         def body(s, _):

@@ -1,0 +1,280 @@
+"""AMPAgent: PPO + adversarial motion prior discriminator.
+
+Capability-parity with reference ``ase/learning/amp_agent.py``: discriminator
+trained on (agent, replay, demo) AMP-observation batches with BCE loss, logit
+regularization, demo gradient penalty and weight decay
+(amp_agent.py:442-479); style reward ``-log(1-σ(D))`` scaled and combined
+with the task reward (540-577); demo and replay buffers live on device and
+are updated inside the jitted epoch; ε-greedy per-env deterministic action
+mixture with the exponential env-index profile (424-435).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ase_tpu.learning.common_agent import CommonAgent, TrainState
+from ase_tpu.learning.replay_buffer import ReplayBuffer
+from ase_tpu.learning.running_mean_std import RunningMeanStd
+from ase_tpu.models import networks
+
+
+class AMPAgent(CommonAgent):
+    def __init__(self, env, cfg_train, output_dir="output"):
+        config = cfg_train["params"]["config"]
+        self._task_reward_w = float(config["task_reward_w"])
+        self._disc_reward_w = float(config["disc_reward_w"])
+        self._amp_batch_size = int(config["amp_batch_size"])
+        self._amp_minibatch_size = int(config["amp_minibatch_size"])
+        self._disc_coef = float(config["disc_coef"])
+        self._disc_logit_reg = float(config["disc_logit_reg"])
+        self._disc_grad_penalty = float(config["disc_grad_penalty"])
+        self._disc_weight_decay = float(config["disc_weight_decay"])
+        self._disc_reward_scale = float(config["disc_reward_scale"])
+        self._normalize_amp_input = bool(config.get("normalize_amp_input", True))
+        self._enable_eps_greedy = bool(config.get("enable_eps_greedy", False))
+        self._amp_obs_demo_buffer_size = int(config["amp_obs_demo_buffer_size"])
+        self._amp_replay_buffer_size = int(config["amp_replay_buffer_size"])
+        self._amp_replay_keep_prob = float(config["amp_replay_keep_prob"])
+
+        self.amp_obs_dim = env.amp_obs_size()
+        assert self._amp_minibatch_size <= int(config["minibatch_size"])
+
+        super().__init__(env, cfg_train, output_dir)
+        self._build_rand_action_probs()
+
+    # -- network --------------------------------------------------------------
+
+    def _build_network(self):
+        return networks.build_network(
+            "amp", self.cfg_train["params"], self.obs_dim, self.action_dim,
+            amp_obs_dim=self.amp_obs_dim,
+        )
+
+    def _net_init_args(self, rng):
+        return (jnp.zeros((1, self.obs_dim)), jnp.zeros((1, self.amp_obs_dim)))
+
+    def _actor_sigma(self, params, obs_n, extra):
+        return self.network.apply(params, obs_n, method=self.network.eval_actor)
+
+    def _critic(self, params, obs_n, extra):
+        return self.network.apply(params, obs_n, method=self.network.eval_critic)
+
+    def _eval_disc(self, params, amp_obs_n):
+        return self.network.apply(params, amp_obs_n, method=self.network.eval_disc)
+
+    # -- eps-greedy (reference _build_rand_action_probs) -----------------------
+
+    def _build_rand_action_probs(self):
+        n = self.num_actors
+        env_ids = np.arange(n, dtype=np.float32)
+        probs = 1.0 - np.exp(10.0 * (env_ids / (n - 1.0) - 1.0))
+        probs[0] = 1.0
+        probs[-1] = 0.0
+        if not self._enable_eps_greedy:
+            probs[:] = 1.0
+        self._rand_action_probs = jnp.asarray(probs)
+
+    def _rand_action_mask(self, ts, rng):
+        return (
+            jax.random.uniform(rng, (self.num_actors,)) < self._rand_action_probs
+        ).astype(jnp.float32)
+
+    # -- extra state ------------------------------------------------------------
+
+    def _init_extra(self, rng) -> Dict[str, Any]:
+        extra = super()._init_extra(rng)
+        if self._normalize_amp_input:
+            extra["amp_rms"] = RunningMeanStd.create((self.amp_obs_dim,))
+        extra["demo_buffer"] = ReplayBuffer.create(
+            self._amp_obs_demo_buffer_size, self.amp_obs_dim
+        )
+        extra["replay_buffer"] = ReplayBuffer.create(
+            self._amp_replay_buffer_size, self.amp_obs_dim
+        )
+        return extra
+
+    def init_train_state(self, rng):
+        ts = super().init_train_state(rng)
+        return self._init_amp_demo_buf(ts)
+
+    def _init_amp_demo_buf(self, ts: TrainState) -> TrainState:
+        """Pre-fill the demo buffer (reference amp_agent.py:520-528)."""
+        chunk = min(self._amp_obs_demo_buffer_size, 16384)
+        n_chunks = int(np.ceil(self._amp_obs_demo_buffer_size / chunk))
+
+        @jax.jit
+        def fill(ts):
+            buf = ts.extra["demo_buffer"]
+            rng = ts.rng
+            for _ in range(n_chunks):
+                rng, k = jax.random.split(rng)
+                demo = self.env.fetch_amp_obs_demo(k, chunk)
+                buf = buf.store(demo)
+            extra = dict(ts.extra)
+            extra["demo_buffer"] = buf
+            return ts.replace(rng=rng, extra=extra)
+
+        return fill(ts)
+
+    # -- amp preprocessing -------------------------------------------------------
+
+    def _norm_amp(self, ts: TrainState, amp_obs):
+        if not self._normalize_amp_input:
+            return amp_obs
+        return ts.extra["amp_rms"].normalize(amp_obs)
+
+    # -- record amp obs during rollout ------------------------------------------
+
+    def _record_step(self, ts, env_state, roll, rec):
+        rec = super()._record_step(ts, env_state, roll, rec)
+        rec["amp_obs"] = self.env.amp_obs_flat(env_state)
+        return rec
+
+    # -- rewards -----------------------------------------------------------------
+
+    def _calc_disc_rewards(self, ts: TrainState, amp_obs):
+        logits = self._eval_disc(ts.params, self._norm_amp(ts, amp_obs))
+        prob = jax.nn.sigmoid(logits)
+        r = -jnp.log(jnp.maximum(1.0 - prob, 0.0001))
+        return r * self._disc_reward_scale
+
+    def _calc_amp_rewards(self, ts, batch) -> Dict[str, jnp.ndarray]:
+        return {"disc_rewards": self._calc_disc_rewards(ts, batch["amp_obs"])}
+
+    def _combine_rewards(self, task_rewards, amp_rewards):
+        return (
+            self._task_reward_w * task_rewards
+            + self._disc_reward_w * amp_rewards["disc_rewards"]
+        )
+
+    def _process_rewards(self, ts, batch):
+        amp_rewards = self._calc_amp_rewards(ts, batch)
+        batch["rewards"] = self._combine_rewards(batch["rewards"], amp_rewards)
+        for k, v in amp_rewards.items():
+            batch[k] = v
+        return ts, batch
+
+    # -- dataset extras ----------------------------------------------------------
+
+    def _prepare_extra_dataset(self, ts, batch, dataset):
+        ts, dataset = super()._prepare_extra_dataset(ts, batch, dataset)
+        T, B = self.horizon_length, self.num_actors
+        amp_obs = batch["amp_obs"].reshape(T * B, -1)
+        dataset["amp_obs"] = amp_obs
+
+        rng, k1, k2, k3 = jax.random.split(ts.rng, 4)
+        ts = ts.replace(rng=rng)
+
+        # refresh demo buffer with a fresh fetch (reference _update_amp_demos)
+        extra = dict(ts.extra)
+        demo_new = self.env.fetch_amp_obs_demo(k1, self._amp_batch_size)
+        extra["demo_buffer"] = extra["demo_buffer"].store(demo_new)
+
+        n = amp_obs.shape[0]
+        dataset["amp_obs_demo"] = extra["demo_buffer"].sample(k2, n)
+        replay = extra["replay_buffer"]
+        replay_sample = replay.sample(k3, n)
+        use_replay = replay.total_count > 0
+        dataset["amp_obs_replay"] = jnp.where(use_replay, replay_sample, amp_obs)
+        ts = ts.replace(extra=extra)
+        return ts, dataset
+
+    def _post_epoch(self, ts, batch):
+        ts = super()._post_epoch(ts, batch)
+        # store rollout amp obs into the replay buffer with keep-prob masking
+        amp_obs = batch["amp_obs"].reshape(-1, self.amp_obs_dim)
+        rng, k = jax.random.split(ts.rng)
+        buf = ts.extra["replay_buffer"]
+        keep = jax.random.uniform(k, (amp_obs.shape[0],)) < self._amp_replay_keep_prob
+        keep = jnp.where(buf.total_count > buf.capacity, keep, jnp.ones_like(keep))
+        extra = dict(ts.extra)
+        extra["replay_buffer"] = buf.store(amp_obs, mask=keep)
+        return ts.replace(rng=rng, extra=extra)
+
+    # -- minibatch preprocessing (amp rms updates, reference train-mode calls) ---
+
+    def _preproc_minibatch(self, ts, mb):
+        ts, mb = super()._preproc_minibatch(ts, mb)
+        a = mb["amp_obs"][: self._amp_minibatch_size]
+        r = mb["amp_obs_replay"][: self._amp_minibatch_size]
+        d = mb["amp_obs_demo"][: self._amp_minibatch_size]
+        if self._normalize_amp_input:
+            rms = ts.extra["amp_rms"].update(a).update(r).update(d)
+            extra = dict(ts.extra)
+            extra["amp_rms"] = rms
+            ts = ts.replace(extra=extra)
+            a, r, d = rms.normalize(a), rms.normalize(r), rms.normalize(d)
+        mb["amp_obs_n"] = a
+        mb["amp_obs_replay_n"] = r
+        mb["amp_obs_demo_n"] = d
+        return ts, mb
+
+    # -- disc loss ----------------------------------------------------------------
+
+    def _disc_weights(self, params):
+        """Flattened disc MLP + logit kernels (reference get_disc_weights)."""
+        p = params["params"]
+        ws = []
+        mlp = p["disc_mlp"]
+        for layer in mlp.values():
+            ws.append(jnp.ravel(layer["kernel"]))
+        ws.append(jnp.ravel(p["disc_logits"]["kernel"]))
+        return jnp.concatenate(ws)
+
+    def _disc_logit_weights(self, params):
+        return jnp.ravel(params["params"]["disc_logits"]["kernel"])
+
+    def _bce_with_logits(self, logits, target):
+        # mean over all elements, matching torch BCEWithLogitsLoss default
+        return jnp.mean(
+            jnp.maximum(logits, 0.0) - logits * target + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        )
+
+    def _disc_loss(self, params, agent_logits, demo_logits_fn, demo_obs_n, info_prefix="disc"):
+        # forward + input-gradient for the penalty (second-order through params)
+        demo_logits, pullback = jax.vjp(demo_logits_fn, demo_obs_n)
+        (demo_grad,) = pullback(jnp.ones_like(demo_logits))
+
+        loss_agent = self._bce_with_logits(agent_logits, jnp.zeros_like(agent_logits))
+        loss_demo = self._bce_with_logits(demo_logits, jnp.ones_like(demo_logits))
+        loss = 0.5 * (loss_agent + loss_demo)
+
+        logit_w = self._disc_logit_weights(params)
+        logit_loss = jnp.sum(jnp.square(logit_w))
+        loss = loss + self._disc_logit_reg * logit_loss
+
+        grad_pen = jnp.mean(jnp.sum(jnp.square(demo_grad), axis=-1))
+        loss = loss + self._disc_grad_penalty * grad_pen
+
+        if self._disc_weight_decay != 0:
+            w = self._disc_weights(params)
+            loss = loss + self._disc_weight_decay * jnp.sum(jnp.square(w))
+
+        info = {
+            f"{info_prefix}_loss": loss,
+            f"{info_prefix}_grad_penalty": grad_pen,
+            f"{info_prefix}_logit_loss": logit_loss,
+            f"{info_prefix}_agent_acc": jnp.mean((agent_logits < 0).astype(jnp.float32)),
+            f"{info_prefix}_demo_acc": jnp.mean((demo_logits > 0).astype(jnp.float32)),
+            f"{info_prefix}_agent_logit": jnp.mean(agent_logits),
+            f"{info_prefix}_demo_logit": jnp.mean(demo_logits),
+        }
+        return loss, info
+
+    def _extra_loss(self, loss, params, ts, mb, info):
+        loss, info = super()._extra_loss(loss, params, ts, mb, info)
+        agent_logits = self._eval_disc(params, mb["amp_obs_n"])
+        replay_logits = self._eval_disc(params, mb["amp_obs_replay_n"])
+        agent_cat = jnp.concatenate([agent_logits, replay_logits], axis=0)
+
+        def demo_fn(x):
+            return self._eval_disc(params, x)
+
+        disc_loss, disc_info = self._disc_loss(params, agent_cat, demo_fn, mb["amp_obs_demo_n"])
+        info.update(disc_info)
+        return loss + self._disc_coef * disc_loss, info

@@ -1,0 +1,68 @@
+"""Checkpoint save/restore of train-state pytrees (path-keyed npz).
+
+Parity with the reference's rl_games ``save``/``restore`` of .pth dicts
+(reference common_agent.py:141-170): weights, optimizer state, normalizer
+statistics, epoch/frame counters and RNG are all captured because they are
+all fields of the TrainState pytree. Leaves are keyed by their tree path, so
+sub-trees (e.g. just the policy params + obs normalizer of a pretrained LLC,
+reference hrl_agent.py:202-214) can be loaded independently.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _leaf_key(path) -> str:
+    return jax.tree_util.keystr(path)
+
+
+def save(path: str, state: Any) -> None:
+    leaves = jax.tree_util.tree_flatten_with_path(jax.device_get(state))[0]
+    arrays = {}
+    for p, v in leaves:
+        arrays[_leaf_key(p)] = np.asarray(v)
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **arrays)
+
+
+def load_dict(path: str) -> dict:
+    if not path.endswith(".npz") and os.path.exists(path + ".npz"):
+        path = path + ".npz"
+    return dict(np.load(path))
+
+
+def restore(path: str, template: Any, prefix: str = "", strict: bool = True) -> Any:
+    """Load leaves matching `prefix` into the structure of `template`.
+
+    Template leaf paths are matched against checkpoint keys after stripping
+    `prefix` from the checkpoint side. Shapes must match.
+    """
+    data = load_dict(path)
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    out = []
+    for p, v in leaves:
+        key = prefix + _leaf_key(p)
+        if key not in data:
+            if strict:
+                raise KeyError(f"checkpoint missing {key}")
+            out.append(v)
+            continue
+        arr = data[key]
+        if hasattr(v, "shape") and tuple(np.shape(v)) != tuple(arr.shape):
+            raise ValueError(f"{key}: shape {arr.shape} != template {np.shape(v)}")
+        out.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, [x for x in out])
+
+
+def restore_subtree(path: str, template: Any, key_prefix: str) -> Any:
+    """Restore a template whose leaves correspond to checkpoint keys that
+    start with `key_prefix` (e.g. ".params" or ".extra['amp_rms']")."""
+    return restore(path, template, prefix=key_prefix)

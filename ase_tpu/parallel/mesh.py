@@ -1,0 +1,56 @@
+"""Device mesh + sharding for data-parallel training over the env axis.
+
+The TPU-native replacement for the reference's optional Horovod NCCL/MPI
+data parallelism (reference ``run.py:36-50`` rank setup;
+``common_agent.py:94-107,205-229`` allreduce call sites). Instead of a
+process-group library, we build a ``jax.sharding.Mesh`` over all devices with
+a single ``env`` axis and annotate:
+
+* environment state, rollout tensors, minibatches → sharded over ``env``;
+* network/optimizer/normalizer state → replicated.
+
+XLA then inserts the gradient/stat ``psum`` collectives inside the jitted
+train epoch automatically (they ride ICI, not host links). Multi-host
+extends the same mesh via ``jax.distributed.initialize``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+ENV_AXIS = "env"
+
+
+def make_mesh(n_devices: int = 0) -> Mesh:
+    devs = jax.devices()
+    if n_devices:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (ENV_AXIS,))
+
+
+def env_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis sharded over devices (env batch)."""
+    return NamedSharding(mesh, P(ENV_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_env_state(mesh: Mesh, env_state: Any) -> Any:
+    """Place every leaf of the env-state pytree with its batch axis sharded."""
+    sh = env_sharding(mesh)
+
+    def place(x):
+        return jax.device_put(x, sh if getattr(x, "ndim", 0) >= 1 and x.shape[0] % mesh.size == 0 else replicated(mesh))
+
+    return jax.tree_util.tree_map(place, env_state)
+
+
+def replicate_state(mesh: Mesh, state: Any) -> Any:
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)

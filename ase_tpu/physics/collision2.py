@@ -1,0 +1,317 @@
+"""Vectorized collision detection (replaces the unrolled loops in
+collision.py with static candidate tables + vmapped pair groups).
+
+Same contract as ``collision.detect`` but all candidate generation is gathered
+into a handful of batched einsums, which cuts XLA trace/compile time sharply
+and maps better onto the VPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ase_tpu.ops import quat as rot
+from ase_tpu.physics import model as M
+from ase_tpu.physics.collision import (
+    Contacts,
+    _point_box_depth,
+    _segment_segment,
+    collision_pairs,
+)
+
+_einsum = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
+_BOX_CORNERS = np.array(
+    [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+    dtype=np.float32,
+)
+
+
+class PlaneTable(NamedTuple):
+    """Static per-candidate tables for geom-vs-ground contacts."""
+
+    geom: np.ndarray       # (C,) geom index
+    body: np.ndarray       # (C,) body index
+    local_off: np.ndarray  # (C, 3) offset in geom frame
+    radius: np.ndarray     # (C,) subtracted along world -z
+    friction_idx: np.ndarray
+    cyl: np.ndarray        # (C,) 1 if cylinder rim candidate (runtime dir)
+    cyl_sign: np.ndarray   # (C,) which face
+
+
+def build_plane_table(model: M.Model) -> PlaneTable:
+    geom, body, local_off, radius, cyl, cyl_sign = [], [], [], [], [], []
+    for g in range(model.ng):
+        gt = model.geom_types[g]
+        b = model.geom_body[g]
+        size = np.asarray(model.geom_size[g])
+
+        def add(off, r, is_cyl=0, sign=0.0):
+            geom.append(g)
+            body.append(b)
+            local_off.append(off)
+            radius.append(r)
+            cyl.append(is_cyl)
+            cyl_sign.append(sign)
+
+        if gt == M.GEOM_SPHERE:
+            add(np.zeros(3), size[0])
+        elif gt == M.GEOM_CAPSULE:
+            add(np.array([0, 0, size[1]]), size[0])
+            add(np.array([0, 0, -size[1]]), size[0])
+        elif gt == M.GEOM_BOX:
+            for c in _BOX_CORNERS:
+                add(c * size, 0.0)
+        elif gt == M.GEOM_CYLINDER:
+            add(np.array([0, 0, size[1]]), size[0], 1, 1.0)
+            add(np.array([0, 0, -size[1]]), size[0], 1, -1.0)
+    return PlaneTable(
+        geom=np.asarray(geom, np.int32),
+        body=np.asarray(body, np.int32),
+        local_off=np.asarray(local_off, np.float32),
+        radius=np.asarray(radius, np.float32),
+        friction_idx=np.asarray(geom, np.int32),
+        cyl=np.asarray(cyl, np.float32),
+        cyl_sign=np.asarray(cyl_sign, np.float32),
+    )
+
+
+class PairTables(NamedTuple):
+    """Pair lists grouped by primitive combination (static)."""
+
+    # capsule-like vs capsule-like (capsule & cylinder treated as capsules)
+    cc: np.ndarray      # (n, 2) geom indices
+    # sphere vs capsule-like: (n, 2) = (sphere_geom, capsule_geom), plus flip flag
+    sc: np.ndarray
+    sc_flip: np.ndarray  # 1 if sphere is geom j (normal must flip)
+    ss: np.ndarray      # (n, 2)
+    box_other: List[Tuple[int, int, bool]]   # (box_geom, other_geom, box_is_i)
+    box_box: List[Tuple[int, int]]
+
+
+def build_pair_tables(model: M.Model, enable_self: bool) -> PairTables:
+    pairs = collision_pairs(model, enable_self)
+    cc, sc, sc_flip, ss = [], [], [], []
+    box_other, box_box = [], []
+    caplike = (M.GEOM_CAPSULE, M.GEOM_CYLINDER)
+    for (i, j) in pairs:
+        ti, tj = model.geom_types[i], model.geom_types[j]
+        if ti == M.GEOM_SPHERE and tj == M.GEOM_SPHERE:
+            ss.append((i, j))
+        elif ti == M.GEOM_SPHERE and tj in caplike:
+            sc.append((i, j))
+            sc_flip.append(0)
+        elif tj == M.GEOM_SPHERE and ti in caplike:
+            sc.append((j, i))
+            sc_flip.append(1)
+        elif ti in caplike and tj in caplike:
+            cc.append((i, j))
+        elif ti == M.GEOM_BOX and tj == M.GEOM_BOX:
+            box_box.append((i, j))
+        elif ti == M.GEOM_BOX:
+            box_other.append((i, j, True))
+        elif tj == M.GEOM_BOX:
+            box_other.append((j, i, False))
+        else:
+            raise ValueError(f"unhandled pair {ti},{tj}")
+    return PairTables(
+        cc=np.asarray(cc, np.int32).reshape(-1, 2),
+        sc=np.asarray(sc, np.int32).reshape(-1, 2),
+        sc_flip=np.asarray(sc_flip, np.float32),
+        ss=np.asarray(ss, np.int32).reshape(-1, 2),
+        box_other=box_other,
+        box_box=box_box,
+    )
+
+
+class CollisionTables(NamedTuple):
+    plane: PlaneTable
+    pairs: PairTables
+
+
+def build_tables(model: M.Model, enable_self: bool) -> CollisionTables:
+    return CollisionTables(build_plane_table(model), build_pair_tables(model, enable_self))
+
+
+def geom_world_pose(model: M.Model, body_R, body_pos, prop_R, prop_pos):
+    """(ng,3) positions / (ng,3,3) rotations, via gathered body transforms."""
+    nb = model.nb
+    gb = np.asarray(model.geom_body, np.int32)
+    if model.num_props > 0:
+        all_R = jnp.concatenate([body_R, prop_R], axis=0)
+        all_p = jnp.concatenate([body_pos, prop_pos], axis=0)
+    else:
+        all_R, all_p = body_R, body_pos
+    Rb = all_R[gb]
+    pb = all_p[gb]
+    g_pos = pb + _einsum("gij,gj->gi", Rb, model.geom_pos)
+    g_rot = _einsum("gij,gjk->gik", Rb, rot.quat_to_rotation_matrix(model.geom_quat))
+    return g_pos, g_rot
+
+
+def detect(
+    model: M.Model,
+    tables: CollisionTables,
+    body_R, body_pos, prop_R, prop_pos,
+    max_contacts: int,
+) -> Contacts:
+    g_pos, g_rot = geom_world_pose(model, body_R, body_pos, prop_R, prop_pos)
+    mu_g = model.geom_friction
+    plane_mu = model.plane_friction
+
+    pts, depths, normals, bas, bbs, mus = [], [], [], [], [], []
+
+    # ---- plane candidates (one big gather) ----
+    T = tables.plane
+    gi = jnp.asarray(T.geom)
+    p = g_pos[gi] + _einsum("cij,cj->ci", g_rot[gi], jnp.asarray(T.local_off))
+    # cylinder rim: step radially along the projected -z direction
+    axis = g_rot[gi][:, :, 2]
+    tdir = jnp.array([0.0, 0.0, -1.0]) + axis * axis[:, 2:3]
+    tnorm = jnp.linalg.norm(tdir, axis=-1, keepdims=True)
+    tdir = tdir / jnp.maximum(tnorm, 1e-6)
+    cyl = jnp.asarray(T.cyl)[:, None]
+    radial = cyl * tdir * jnp.asarray(T.radius)[:, None]
+    vertical = (1.0 - cyl) * jnp.concatenate(
+        [jnp.zeros((p.shape[0], 2)), -jnp.asarray(T.radius)[:, None]], axis=-1
+    )
+    p = p + radial + vertical
+    up = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), p.shape)
+
+    pts.append(p)
+    depths.append(-p[:, 2])
+    normals.append(up)
+    bas.append(jnp.asarray(T.body))
+    bbs.append(jnp.full((p.shape[0],), -1, jnp.int32))
+    mus.append(jnp.sqrt(jnp.maximum(mu_g[gi] * plane_mu, 0.0)))
+
+    P = tables.pairs
+    nb_total = model.nb + model.num_props
+    gb = jnp.asarray(np.asarray(model.geom_body, np.int32))
+
+    def add_group(pos, n, d, gi_idx, gj_idx):
+        pts.append(pos)
+        depths.append(d)
+        normals.append(n)
+        bas.append(gb[gi_idx])
+        bbs.append(gb[gj_idx])
+        mus.append(jnp.sqrt(jnp.maximum(mu_g[gi_idx] * mu_g[gj_idx], 0.0)))
+
+    # ---- sphere-sphere ----
+    if P.ss.shape[0]:
+        i, j = jnp.asarray(P.ss[:, 0]), jnp.asarray(P.ss[:, 1])
+        d = g_pos[i] - g_pos[j]
+        dist = jnp.linalg.norm(d, axis=-1) + 1e-9
+        n = d / dist[:, None]
+        depth = model.geom_size[i, 0] + model.geom_size[j, 0] - dist
+        pos = g_pos[j] + n * (model.geom_size[j, 0] - 0.5 * depth)[:, None]
+        add_group(pos, n, depth, i, j)
+
+    # ---- sphere vs capsule-like ----
+    if P.sc.shape[0]:
+        si, ci = jnp.asarray(P.sc[:, 0]), jnp.asarray(P.sc[:, 1])
+        axis = g_rot[ci][:, :, 2]
+        half = model.geom_size[ci, 1]
+        a0 = g_pos[ci] - axis * half[:, None]
+        seg = 2.0 * axis * half[:, None]
+        t = jnp.sum((g_pos[si] - a0) * seg, -1) / jnp.maximum(jnp.sum(seg * seg, -1), 1e-9)
+        q = a0 + jnp.clip(t, 0.0, 1.0)[:, None] * seg
+        d = g_pos[si] - q
+        dist = jnp.linalg.norm(d, axis=-1) + 1e-9
+        n = d / dist[:, None]
+        depth = model.geom_size[si, 0] + model.geom_size[ci, 0] - dist
+        pos = q + n * (model.geom_size[ci, 0] - 0.5 * depth)[:, None]
+        flip = jnp.asarray(P.sc_flip)[:, None]
+        n_signed = n * (1.0 - 2.0 * flip)
+        gi_idx = jnp.where(jnp.asarray(P.sc_flip) > 0, ci, si)
+        gj_idx = jnp.where(jnp.asarray(P.sc_flip) > 0, si, ci)
+        add_group(pos, n_signed, depth, gi_idx, gj_idx)
+
+    # ---- capsule-like vs capsule-like ----
+    if P.cc.shape[0]:
+        i, j = jnp.asarray(P.cc[:, 0]), jnp.asarray(P.cc[:, 1])
+        ai = g_rot[i][:, :, 2] * model.geom_size[i, 1][:, None]
+        aj = g_rot[j][:, :, 2] * model.geom_size[j, 1][:, None]
+        pa, pb = jax.vmap(_segment_segment)(
+            g_pos[i] - ai, g_pos[i] + ai, g_pos[j] - aj, g_pos[j] + aj
+        )
+        d = pa - pb
+        dist = jnp.linalg.norm(d, axis=-1) + 1e-9
+        n = d / dist[:, None]
+        depth = model.geom_size[i, 0] + model.geom_size[j, 0] - dist
+        pos = pb + n * (model.geom_size[j, 0] - 0.5 * depth)[:, None]
+        add_group(pos, n, depth, i, j)
+
+    # ---- box vs sphere/capsule samples ----
+    for (bi, oi, box_is_i) in P.box_other:
+        half = model.geom_size[bi]
+        Rb, pb = g_rot[bi], g_pos[bi]
+        if model.geom_types[oi] == M.GEOM_SPHERE:
+            samples = [(g_pos[oi], model.geom_size[oi][0])]
+        else:
+            axis = g_rot[oi][:, 2] * model.geom_size[oi][1]
+            r = model.geom_size[oi][0]
+            samples = [
+                (g_pos[oi] - axis, r), (g_pos[oi], r), (g_pos[oi] + axis, r)
+            ]
+        for (c, r) in samples:
+            c_local = Rb.T @ (c - pb)
+            dpt, n_l, surf_l = _point_box_depth(c_local, half)
+            n_w = Rb @ n_l
+            depth = dpt + r
+            pos = pb + Rb @ surf_l
+            sign = -1.0 if box_is_i else 1.0
+            gi_idx = bi if box_is_i else oi
+            gj_idx = oi if box_is_i else bi
+            pts.append(pos[None])
+            depths.append(depth[None])
+            normals.append((sign * n_w)[None])
+            bas.append(gb[jnp.asarray([gi_idx])])
+            bbs.append(gb[jnp.asarray([gj_idx])])
+            mus.append(jnp.sqrt(jnp.maximum(mu_g[gi_idx] * mu_g[gj_idx], 0.0))[None])
+
+    # ---- box vs box (vertex-in-box, both directions, 4 deepest each) ----
+    for (i, j) in P.box_box:
+        for (src, dst, src_is_i) in ((i, j, True), (j, i, False)):
+            half_s = model.geom_size[src]
+            half_d = model.geom_size[dst]
+            Rs, ps = g_rot[src], g_pos[src]
+            Rd, pd = g_rot[dst], g_pos[dst]
+            corners = _einsum("ij,cj->ci", Rs, jnp.asarray(_BOX_CORNERS) * half_s[None, :]) + ps
+            c_local = _einsum("ji,cj->ci", Rd, corners - pd)
+            dpths, n_ls, surf_ls = jax.vmap(lambda cl: _point_box_depth(cl, half_d))(c_local)
+            _, order = jax.lax.top_k(dpths, 4)
+            sel_d = dpths[order]
+            sel_n = _einsum("ij,cj->ci", Rd, n_ls[order])
+            sel_p = pd + _einsum("ij,cj->ci", Rd, surf_ls[order])
+            sign = 1.0 if src_is_i else -1.0
+            gi_idx, gj_idx = (i, j)
+            pts.append(sel_p)
+            depths.append(sel_d)
+            normals.append(sign * sel_n)
+            bas.append(jnp.broadcast_to(gb[gi_idx if src_is_i else gi_idx], (4,)))
+            bbs.append(jnp.broadcast_to(gb[gj_idx], (4,)))
+            mus.append(
+                jnp.broadcast_to(
+                    jnp.sqrt(jnp.maximum(mu_g[gi_idx] * mu_g[gj_idx], 0.0)), (4,)
+                )
+            )
+
+    pos = jnp.concatenate(pts, axis=0)
+    depth = jnp.concatenate(depths, axis=0)
+    normal = jnp.concatenate(normals, axis=0)
+    ba = jnp.concatenate(bas, axis=0).astype(jnp.int32)
+    bb = jnp.concatenate(bbs, axis=0).astype(jnp.int32)
+    mu = jnp.concatenate(mus, axis=0)
+
+    k = min(max_contacts, pos.shape[0])
+    _, idx = jax.lax.top_k(depth, k)
+    return Contacts(
+        pos=pos[idx], normal=normal[idx], depth=depth[idx],
+        body_a=ba[idx], body_b=bb[idx], friction=mu[idx],
+    )

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ase_tpu.ops import quat as rot
-from ase_tpu.physics import collision, dynamics, solver
+from ase_tpu.physics import collision2, dynamics, solver
 from ase_tpu.physics import model as M
 from ase_tpu.physics.dynamics import State
 
@@ -48,7 +48,7 @@ class StepOut(NamedTuple):
     contact_forces: jnp.ndarray  # (nb + np, 3)
 
 
-def _substep(model: M.Model, cfg: SimConfig, pairs, state: State, action: jnp.ndarray):
+def _substep(model: M.Model, cfg: SimConfig, tables, state: State, action: jnp.ndarray):
     h = cfg.dt / cfg.substeps
 
     kin = dynamics.fk(model, state)
@@ -79,8 +79,8 @@ def _substep(model: M.Model, cfg: SimConfig, pairs, state: State, action: jnp.nd
     u_free = jnp.concatenate([u_art] + u_props) if u_props else u_art
 
     # contacts
-    contacts = collision.detect(
-        model, kin.body_R, kin.body_pos, prop_R, state.prop_pos, pairs, cfg.max_contacts
+    contacts = collision2.detect(
+        model, tables, kin.body_R, kin.body_pos, prop_R, state.prop_pos, cfg.max_contacts
     )
     J = solver.contact_jacobian(
         model, contacts, dyn.Phi, dyn.Amask, state.root_pos, state.prop_pos
@@ -135,12 +135,12 @@ def _substep(model: M.Model, cfg: SimConfig, pairs, state: State, action: jnp.nd
     return new_state, body_forces
 
 
-def step(model: M.Model, cfg: SimConfig, pairs, state: State, action: jnp.ndarray) -> StepOut:
+def step(model: M.Model, cfg: SimConfig, tables, state: State, action: jnp.ndarray) -> StepOut:
     """Advance one sim tick (cfg.substeps solver substeps), single env."""
 
     def body(carry, _):
         st, _ = carry
-        st, forces = _substep(model, cfg, pairs, st, action)
+        st, forces = _substep(model, cfg, tables, st, action)
         return (st, forces), None
 
     init_forces = jnp.zeros((model.nb + model.num_props, 3))
@@ -163,8 +163,8 @@ def step(model: M.Model, cfg: SimConfig, pairs, state: State, action: jnp.ndarra
 
 def make_batched_step(model: M.Model, cfg: SimConfig):
     """vmapped step: (state_batch, action (B, nd)) -> StepOut batch."""
-    pairs = collision.collision_pairs(model, cfg.enable_self_collision)
-    f = partial(step, model, cfg, pairs)
+    tables = collision2.build_tables(model, cfg.enable_self_collision)
+    f = partial(step, model, cfg, tables)
     return jax.vmap(f)
 
 

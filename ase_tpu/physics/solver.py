@@ -88,13 +88,9 @@ def contact_jacobian(
             )
         return J
 
-    def one(c):
-        Ja = body_point_jac(contacts.body_a[c], contacts.pos[c])
-        Jb = body_point_jac(contacts.body_b[c], contacts.pos[c])
-        Jrel = Ja - Jb
-        return _einsum("ij,jv->iv", basis[c], Jrel)
-
-    return jnp.stack([one(c) for c in range(K)])
+    Ja = jax.vmap(body_point_jac)(contacts.body_a, contacts.pos)
+    Jb = jax.vmap(body_point_jac)(contacts.body_b, contacts.pos)
+    return _einsum("kij,kjv->kiv", basis, Ja - Jb)
 
 
 def make_minv_apply(model: M.Model, chol, prop_R):
@@ -149,7 +145,8 @@ def solve(
     )
     v0 = _einsum("kiv,v->ki", J, u_free)      # (K, 3)
 
-    diag = jnp.stack([Ablk[k, :, k, :] for k in range(K)])  # (K, 3, 3)
+    ar = jnp.arange(K)
+    diag = Ablk[ar, :, ar, :]  # (K, 3, 3)
     diag_inv = jnp.linalg.inv(diag)
 
     def sweep(_, lam):

@@ -1,0 +1,72 @@
+"""CLI entry point (reference ``ase/run.py``): same flags, same registries.
+
+Examples (mirroring the reference README):
+
+  python -m ase_tpu.run --task HumanoidAMP \
+      --cfg_env humanoid_sword_shield.yaml \
+      --cfg_train train/rlg/amp_humanoid.yaml \
+      --motion_file <clip.npy>
+
+  python -m ase_tpu.run --task HumanoidAMPGetup \
+      --cfg_env humanoid_ase_sword_shield_getup.yaml \
+      --cfg_train train/rlg/ase_humanoid.yaml \
+      --motion_file <dataset.yaml>
+
+  python -m ase_tpu.run --task HumanoidHeading \
+      --cfg_env humanoid_sword_shield_heading.yaml \
+      --cfg_train train/rlg/hrl_humanoid.yaml \
+      --llc_checkpoint <llc.ckpt.npz> --motion_file <dataset.yaml>
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def build_alg_runner():
+    """Algo/player registries (reference run.py:153-170)."""
+    from ase_tpu.learning.amp_agent import AMPAgent
+    from ase_tpu.learning.ase_agent import ASEAgent
+    from ase_tpu.learning.hrl_agent import HRLAgent
+    from ase_tpu.learning.players import AMPPlayer, ASEPlayer, CommonPlayer, HRLPlayer
+
+    algos = {"amp": AMPAgent, "ase": ASEAgent, "hrl": HRLAgent}
+    players = {"amp": AMPPlayer, "ase": ASEPlayer, "hrl": HRLPlayer, "common": CommonPlayer}
+    return algos, players
+
+
+def main(argv=None):
+    from ase_tpu.envs import parse_task
+    from ase_tpu.utils import config as cfg_util
+
+    args = cfg_util.get_args(argv)
+    cfg, cfg_train = cfg_util.load_cfg(args)
+
+    env = parse_task(args.task, cfg, headless=args.headless)
+
+    algos, players = build_alg_runner()
+    algo_name = cfg_train["params"]["algo"]["name"]
+    agent_cls = algos[algo_name]
+    agent = agent_cls(env, cfg_train, output_dir=args.output_path)
+
+    if args.test:
+        player_cls = players.get(algo_name, players["common"])
+        player = player_cls(agent)
+        player.restore(args.checkpoint)
+        player.run(num_steps=cfg["env"]["episodeLength"])
+        return
+
+    writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(os.path.join(args.output_path, "summaries"))
+    except Exception:
+        pass
+
+    agent.train(writer=writer)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Benchmark: humanoid env-steps/sec on the flagship AMP/ASE training path.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.json): >=1M env-steps/sec on a v5p-8 (8 chips) at 4096
+envs => 125k env-steps/sec/chip. vs_baseline = measured_per_chip / 125000.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
+    horizon = int(os.environ.get("BENCH_HORIZON", 32))
+    epochs = int(os.environ.get("BENCH_EPOCHS", 5))
+
+    from ase_tpu.envs import parse_task
+    from ase_tpu.learning.ase_agent import ASEAgent
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    cfg = yaml.safe_load(open(os.path.join(root, "data/cfg/humanoid_ase_sword_shield_getup.yaml")))
+    cfg["env"]["numEnvs"] = num_envs
+    cfg["env"]["motion_file"] = os.environ.get(
+        "BENCH_MOTION_FILE",
+        "/root/reference/ase/data/motions/reallusion_sword_shield/dataset_reallusion_sword_shield.yaml",
+    )
+    if not os.path.exists(cfg["env"]["motion_file"]):
+        cfg["env"]["motion_file"] = (
+            "/root/reference/ase/data/motions/reallusion_sword_shield/RL_Avatar_Idle_Ready_Motion.npy"
+        )
+    cfg["env"]["enableSelfCollision"] = (
+        os.environ.get("BENCH_SELF_COLLISION", "1") == "1"
+    )
+
+    cfg_train = yaml.safe_load(open(os.path.join(root, "data/cfg/train/rlg/ase_humanoid.yaml")))
+    c = cfg_train["params"]["config"]
+    c["horizon_length"] = horizon
+    c["minibatch_size"] = min(16384, num_envs * horizon)
+    # keep AMP buffers proportional on small runs
+    if num_envs < 1024:
+        c["amp_obs_demo_buffer_size"] = 4096
+        c["amp_replay_buffer_size"] = 4096
+
+    env = parse_task("HumanoidAMPGetup", cfg)
+    agent = ASEAgent(env, cfg_train)
+
+    rng = jax.random.PRNGKey(0)
+    ts = agent.init_train_state(rng)
+    env_state = env.initial_state(jax.random.PRNGKey(1))
+
+    # compile
+    t0 = time.time()
+    ts, env_state, metrics = agent.train_epoch(ts, env_state)
+    jax.block_until_ready(metrics)
+    compile_s = time.time() - t0
+    print(f"# compile: {compile_s:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    for _ in range(epochs):
+        ts, env_state, metrics = agent.train_epoch(ts, env_state)
+    jax.block_until_ready(metrics)
+    wall = time.time() - t0
+
+    steps = epochs * horizon * num_envs
+    sps = steps / wall
+    n_chips = jax.device_count()
+    per_chip = sps / n_chips
+    out = {
+        "metric": "ase_train_env_steps_per_sec_per_chip",
+        "value": round(per_chip, 1),
+        "unit": "env-steps/s/chip (full ASE train epoch, 4096 envs)",
+        "vs_baseline": round(per_chip / 125000.0, 4),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

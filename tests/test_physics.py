@@ -23,7 +23,9 @@ def humanoid():
 @pytest.fixture(scope="module")
 def stepper(humanoid):
     cfg = engine.SimConfig(enable_self_collision=False, max_contacts=24)
-    return jax.jit(lambda s, a: engine.step(humanoid, cfg, [], s, a))
+    from ase_tpu.physics import collision2
+    tables = collision2.build_tables(humanoid, False)
+    return jax.jit(lambda s, a: engine.step(humanoid, cfg, tables, s, a))
 
 
 def test_model_matches_reference_dof_tables(humanoid):
@@ -146,7 +148,9 @@ def test_pendulum_energy():
     # pin the base by making it enormously heavy (freejoint base barely moves)
     cfg = engine.SimConfig(dt=1.0 / 600.0, substeps=1, enable_self_collision=False,
                            max_contacts=4, torque_control=True)
-    step = jax.jit(lambda s, a: engine.step(m, cfg, [], s, a))
+    from ase_tpu.physics import collision2
+    tables = collision2.build_tables(m, False)
+    step = jax.jit(lambda s, a: engine.step(m, cfg, tables, s, a))
     st = dynamics.default_state(m)
     st = st._replace(root_pos=jnp.array([0.0, 0.0, 2.0]))
     theta0 = 0.1
