@@ -190,19 +190,21 @@ def _fetch_motion_files(motion_file: str):
 
 
 def _np_local_to_dof_vel(lr0, lr1, dt, dof_body_ids, dof_offsets, num_dof):
-    """Per-frame dof velocity from consecutive local rotations (spec: 326-354)."""
+    """Dof velocities from consecutive local rotations, vectorized over frames
+    (spec: reference motion_lib.py:326-354). lr0/lr1: (T, J, 4)."""
     diff = sk._np_quat_mul(sk._np_quat_conj(lr0), lr1)
     diff = diff / np.maximum(np.linalg.norm(diff, axis=-1, keepdims=True), 1e-12)
     angle, axis = sk._np_quat_to_angle_axis(diff)
-    local_vel = axis * angle[..., None] / dt
-    dof_vel = np.zeros(num_dof, dtype=np.float32)
+    local_vel = axis * angle[..., None] / dt  # (T, J, 3)
+    T = lr0.shape[0]
+    dof_vel = np.zeros((T, num_dof), dtype=np.float32)
     for j, body_id in enumerate(dof_body_ids):
         off = dof_offsets[j]
         size = dof_offsets[j + 1] - off
         if size == 3:
-            dof_vel[off : off + 3] = local_vel[body_id]
+            dof_vel[:, off : off + 3] = local_vel[:, body_id]
         else:
-            dof_vel[off] = local_vel[body_id, 1]
+            dof_vel[:, off] = local_vel[:, body_id, 1]
     return dof_vel
 
 
@@ -241,26 +243,24 @@ def load_motion_lib(
     lengths, nframes, dts = [], [], []
     tree = None
 
-    fk_jit = None
     for path in files:
         tree, local_rot, root_t, fps, gv, gav = load_motion_npy(path)
         T = local_rot.shape[0]
-        if fk_jit is None:
-            fk_jit = jax.jit(lambda lr, rt: sk.fk(tree, lr, rt))
-        grs, gts = jax.device_get(fk_jit(jnp.asarray(local_rot), jnp.asarray(root_t)))
+        grs, gts = sk.np_fk(tree, local_rot, root_t)
         grs = np.asarray(grs, dtype=np.float32)
         gts = np.asarray(gts, dtype=np.float32)
         if gv is None or gav is None:
             gv, gav = sk.compute_velocities(gts, grs, fps)
 
         clip_dt = 1.0 / fps
-        dvs = np.zeros((T, num_dof), dtype=np.float32)
-        for f in range(T - 1):
-            dvs[f] = _np_local_to_dof_vel(
-                local_rot[f], local_rot[f + 1], clip_dt, dof_body_ids, dof_offsets, num_dof
-            )
         if T > 1:
+            dvs = np.zeros((T, num_dof), dtype=np.float32)
+            dvs[:-1] = _np_local_to_dof_vel(
+                local_rot[:-1], local_rot[1:], clip_dt, dof_body_ids, dof_offsets, num_dof
+            )
             dvs[-1] = dvs[-2]
+        else:
+            dvs = np.zeros((T, num_dof), dtype=np.float32)
 
         all_gts.append(gts)
         all_grs.append(grs)

@@ -165,6 +165,32 @@ def compute_velocities(
 
 # --- small numpy helpers (loader-side; no torch/scipy dependency) ---------
 
+def np_fk(tree: SkeletonTree, local_rotation: np.ndarray, root_translation: np.ndarray):
+    """Host-side numpy FK (loader path; avoids per-clip-length jit recompiles)."""
+    J = tree.num_joints
+    grs = [None] * J
+    gts = [None] * J
+    lt = tree.local_translation
+    for j in range(J):
+        p = tree.parent_indices[j]
+        lr = local_rotation[..., j, :]
+        if p == -1:
+            grs[j] = lr
+            gts[j] = root_translation
+        else:
+            grs[j] = _np_quat_mul(grs[p], lr)
+            gts[j] = gts[p] + _np_quat_rotate(grs[p], lt[j])
+    return np.stack(grs, axis=-2), np.stack(gts, axis=-2)
+
+
+def _np_quat_rotate(q, v):
+    qvec = q[..., 0:3]
+    w = q[..., 3:4]
+    v = np.broadcast_to(v, qvec.shape)
+    t = 2.0 * np.cross(qvec, v)
+    return v + w * t + np.cross(qvec, t)
+
+
 def _np_quat_mul(a, b):
     ax, ay, az, aw = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
     bx, by, bz, bw = b[..., 0], b[..., 1], b[..., 2], b[..., 3]

@@ -1,0 +1,133 @@
+"""Env layer tests: obs sizes, reset semantics, AMP machinery, task rewards."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ase_tpu.envs import parse_task
+
+MOTION = (
+    "/root/reference/ase/data/motions/reallusion_sword_shield/"
+    "RL_Avatar_Idle_Ready_Motion.npy"
+)
+
+
+def make_cfg(**env_overrides):
+    cfg = {
+        "env": {
+            "numEnvs": 4, "envSpacing": 5, "episodeLength": 30,
+            "pdControl": True, "powerScale": 1.0, "controlFrequencyInv": 2,
+            "stateInit": "Random", "hybridInitProb": 0.5, "numAMPObsSteps": 10,
+            "localRootObs": True, "rootHeightObs": True,
+            "keyBodies": ["right_hand", "left_hand", "right_foot", "left_foot",
+                           "sword", "shield"],
+            "contactBodies": ["right_foot", "left_foot"],
+            "terminationHeight": 0.15, "enableEarlyTermination": True,
+            "enableSelfCollision": False, "maxContacts": 16,
+            "asset": {"assetRoot": "ase/data/assets",
+                      "assetFileName": "mjcf/amp_humanoid_sword_shield.xml"},
+            "plane": {"staticFriction": 1.0, "dynamicFriction": 1.0,
+                      "restitution": 0.0},
+            "motion_file": MOTION,
+        },
+        "sim": {"substeps": 2, "physx": {"num_position_iterations": 4}},
+    }
+    cfg["env"].update(env_overrides)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def amp_env():
+    return parse_task("HumanoidAMP", make_cfg())
+
+
+def test_obs_action_sizes(amp_env):
+    # reference humanoid.py:190-195 / humanoid_amp.py:115-116
+    assert amp_env.get_obs_size() == 253
+    assert amp_env.get_action_size() == 31
+    assert amp_env.get_num_amp_obs() == 1400
+
+
+def test_initial_state_and_step(amp_env):
+    state = amp_env.initial_state(jax.random.PRNGKey(0))
+    assert state.obs.shape == (4, 253)
+    assert bool(jnp.all(jnp.isfinite(state.obs)))
+    step = jax.jit(amp_env.step)
+    s2 = step(state, jnp.zeros((4, 31)))
+    assert int(s2.progress[0]) == 1
+    assert bool(jnp.all(jnp.isfinite(s2.obs)))
+    # amp history shifted: row 1 becomes previous row 0
+    np.testing.assert_allclose(
+        np.asarray(s2.aux["amp_obs"][:, 1]), np.asarray(state.aux["amp_obs"][:, 0]),
+        atol=1e-6,
+    )
+
+
+def test_ref_state_init_uses_motion(amp_env):
+    state = amp_env.initial_state(jax.random.PRNGKey(2))
+    # Random init should give non-default poses (root not exactly at 0.89)
+    z = np.asarray(state.phys.root_pos[:, 2])
+    assert not np.allclose(z, 0.89), z
+
+
+def test_reset_done_masked(amp_env):
+    state = amp_env.initial_state(jax.random.PRNGKey(3))
+    state = state.replace(
+        reset_buf=jnp.array([1, 0, 0, 0], jnp.int32),
+        progress=jnp.array([10, 10, 10, 10], jnp.int32),
+    )
+    reset = jax.jit(amp_env.reset_done)
+    s2 = reset(state)
+    assert int(s2.progress[0]) == 0
+    assert int(s2.progress[1]) == 10
+    # untouched env keeps its physics state
+    np.testing.assert_allclose(
+        np.asarray(s2.phys.root_pos[1]), np.asarray(state.phys.root_pos[1]), atol=1e-6
+    )
+
+
+def test_fetch_amp_obs_demo(amp_env):
+    demo = amp_env.fetch_amp_obs_demo(jax.random.PRNGKey(4), 8)
+    assert demo.shape == (8, 1400)
+    assert bool(jnp.all(jnp.isfinite(demo)))
+    # per-step blocks differ across the history window (time offsets)
+    blocks = np.asarray(demo).reshape(8, 10, 140)
+    assert not np.allclose(blocks[:, 0], blocks[:, 5])
+
+
+def test_heading_task():
+    cfg = make_cfg(tarSpeedMin=1.5, tarSpeedMax=1.6, headingChangeStepsMin=10,
+                   headingChangeStepsMax=20, enableRandHeading=True,
+                   enableTaskObs=True, stateInit="Default")
+    env = parse_task("HumanoidHeading", cfg)
+    assert env.get_obs_size() == 258  # 253 + 5
+    state = env.initial_state(jax.random.PRNGKey(0))
+    s2 = jax.jit(env.step)(state, jnp.zeros((4, 31)))
+    assert bool(jnp.all(jnp.isfinite(s2.rew)))
+    assert float(jnp.max(s2.rew)) <= 1.0 + 1e-5
+
+
+def test_view_motion():
+    env = parse_task("HumanoidViewMotion", make_cfg())
+    state = env.initial_state(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    for _ in range(3):
+        state = step(state, jnp.zeros((4, 31)))
+    # kinematic playback keeps body positions matching the clip (finite, above ground)
+    assert bool(jnp.all(jnp.isfinite(state.body_pos)))
+    assert float(jnp.min(state.body_pos[..., 2])) > -0.1
+
+
+def test_getup_env():
+    cfg = make_cfg(stateInit="Hybrid", recoveryEpisodeProb=0.2,
+                   recoverySteps=6, fallInitProb=0.5)
+    env = parse_task("HumanoidAMPGetup", cfg)
+    state = env.initial_state(jax.random.PRNGKey(0))
+    assert bool(jnp.all(jnp.isfinite(state.obs)))
+    s2 = jax.jit(env.step)(state, jnp.zeros((4, 31)))
+    assert bool(jnp.all(jnp.isfinite(s2.obs)))
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])

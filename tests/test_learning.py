@@ -1,0 +1,133 @@
+"""Learning stack tests: agents train a tiny config end-to-end; buffers,
+normalizers and checkpoints behave per the reference semantics."""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ase_tpu.envs import parse_task
+from ase_tpu.learning.amp_agent import AMPAgent
+from ase_tpu.learning.ase_agent import ASEAgent
+from ase_tpu.learning.replay_buffer import ReplayBuffer
+from ase_tpu.learning.running_mean_std import RunningMeanStd
+from tests.test_env import make_cfg
+
+TRAIN_CFG = {
+    "params": {
+        "seed": 7,
+        "algo": {"name": "amp"},
+        "model": {"name": "amp"},
+        "network": {
+            "name": "amp", "separate": True,
+            "space": {"continuous": {
+                "mu_activation": "None", "sigma_activation": "None",
+                "mu_init": {"name": "default"},
+                "sigma_init": {"name": "const_initializer", "val": -2.9},
+                "fixed_sigma": True, "learn_sigma": False}},
+            "mlp": {"units": [32, 16], "activation": "relu", "d2rl": False,
+                    "initializer": {"name": "default"},
+                    "regularizer": {"name": "None"}},
+            "disc": {"units": [32, 16], "activation": "relu",
+                     "initializer": {"name": "default"}},
+            "enc": {"units": [32, 16], "activation": "relu", "separate": False,
+                    "initializer": {"name": "default"}},
+        },
+        "config": {
+            "name": "test", "ppo": True, "normalize_input": True,
+            "normalize_value": True, "normalize_advantage": True,
+            "reward_shaper": {"scale_value": 1},
+            "gamma": 0.99, "tau": 0.95, "learning_rate": 2e-4,
+            "lr_schedule": "constant", "max_epochs": 3, "save_frequency": 0,
+            "grad_norm": 1.0, "entropy_coef": 0.0, "truncate_grads": False,
+            "e_clip": 0.2, "horizon_length": 4, "minibatch_size": 8,
+            "mini_epochs": 2, "critic_coef": 5, "clip_value": False,
+            "bounds_loss_coef": 10,
+            "amp_obs_demo_buffer_size": 256, "amp_replay_buffer_size": 256,
+            "amp_replay_keep_prob": 0.1, "amp_batch_size": 32,
+            "amp_minibatch_size": 8, "disc_coef": 5, "disc_logit_reg": 0.01,
+            "disc_grad_penalty": 5, "disc_reward_scale": 2,
+            "disc_weight_decay": 0.0001, "normalize_amp_input": True,
+            "enable_eps_greedy": True, "task_reward_w": 0.0,
+            "disc_reward_w": 1.0,
+            "latent_dim": 8, "latent_steps_min": 1, "latent_steps_max": 10,
+            "amp_diversity_bonus": 0.01, "amp_diversity_tar": 1.0,
+            "enc_coef": 5, "enc_weight_decay": 0.0, "enc_reward_scale": 1,
+            "enc_grad_penalty": 0, "enc_reward_w": 0.5,
+        },
+    }
+}
+
+
+def test_running_mean_std_matches_numpy():
+    rms = RunningMeanStd.create((3,))
+    data = np.random.RandomState(0).randn(100, 3).astype(np.float32) * 2 + 1
+    rms = rms.update(jnp.asarray(data[:50]))
+    rms = rms.update(jnp.asarray(data[50:]))
+    np.testing.assert_allclose(np.asarray(rms.mean), data.mean(0), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(rms.var), data.var(0), atol=1e-3)
+
+
+def test_replay_buffer_ring():
+    buf = ReplayBuffer.create(8, 2)
+    x = jnp.arange(12, dtype=jnp.float32).reshape(6, 2)
+    buf = buf.store(x)
+    assert int(buf.total_count) == 6
+    buf = buf.store(x)  # wraps
+    assert int(buf.head) == 4
+    s = buf.sample(jax.random.PRNGKey(0), 16)
+    assert s.shape == (16, 2)
+
+
+def test_amp_agent_trains():
+    env = parse_task("HumanoidAMP", make_cfg())
+    cfg = copy.deepcopy(TRAIN_CFG)
+    agent = AMPAgent(env, cfg)
+    ts = agent.init_train_state(jax.random.PRNGKey(0))
+    assert int(ts.extra["demo_buffer"].total_count) >= 256
+    env_state = env.initial_state(jax.random.PRNGKey(1))
+    for _ in range(2):
+        ts, env_state, metrics = agent.train_epoch(ts, env_state)
+    m = jax.device_get(metrics)
+    for k in ("a_loss", "c_loss", "disc_loss", "kl"):
+        assert np.isfinite(m[k]), (k, m[k])
+    leaves = jax.tree_util.tree_leaves(jax.device_get(ts.params))
+    assert all(np.all(np.isfinite(l)) for l in leaves)
+
+
+def test_ase_agent_trains():
+    env = parse_task("HumanoidAMP", make_cfg())
+    cfg = copy.deepcopy(TRAIN_CFG)
+    cfg["params"]["algo"]["name"] = "ase"
+    cfg["params"]["network"]["name"] = "ase"
+    agent = ASEAgent(env, cfg)
+    ts = agent.init_train_state(jax.random.PRNGKey(0))
+    env_state = env.initial_state(jax.random.PRNGKey(1))
+    ts, env_state, metrics = agent.train_epoch(ts, env_state)
+    m = jax.device_get(metrics)
+    for k in ("a_loss", "disc_loss", "enc_loss", "diversity_loss"):
+        assert np.isfinite(m[k]), (k, m[k])
+    # latents stay unit-norm
+    z = np.asarray(ts.extra["ase_latents"])
+    np.testing.assert_allclose(np.linalg.norm(z, axis=-1), 1.0, atol=1e-4)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from ase_tpu.learning import checkpoint as ckpt
+
+    env = parse_task("HumanoidAMP", make_cfg())
+    agent = AMPAgent(env, copy.deepcopy(TRAIN_CFG))
+    ts = agent.init_train_state(jax.random.PRNGKey(0))
+    path = str(tmp_path / "test.ckpt")
+    ckpt.save(path, ts)
+    ts2 = ckpt.restore(path, ts)
+    a = jax.tree_util.tree_leaves(jax.device_get(ts.params))
+    b = jax.tree_util.tree_leaves(jax.device_get(ts2.params))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])
