@@ -1,0 +1,114 @@
+"""Domain randomization engine (reference ``ase/env/tasks/base_task.py:204-398``).
+
+Capability surface reproduced the JAX way:
+
+* scheduled (constant / linear ramp) gaussian or uniform noise on observations
+  and actions, with additive or scaling operations;
+* per-env physics property scales (friction, mass, PD gains) resampled every
+  ``frequency`` episodes and applied inside the jitted step;
+* everything lives in env aux state — no host-side property setters.
+
+Config schema matches the reference's ``task.randomization_params`` block:
+  randomization_params:
+    frequency: 600
+    observations: {range: [0, .002], operation: additive, distribution: gaussian}
+    actions:      {range: [0., .02], operation: additive, distribution: gaussian}
+    actor_params: {humanoid: {rigid_body_properties: {mass: {range: [0.9,1.1], ...}}}}
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _sched_scale(schedule: Optional[str], schedule_steps: int, step_count) -> jnp.ndarray:
+    if schedule == "linear":
+        return jnp.minimum(step_count / float(max(schedule_steps, 1)), 1.0)
+    return jnp.asarray(1.0)
+
+
+class NoiseSpec:
+    def __init__(self, cfg: Dict[str, Any]):
+        self.lo, self.hi = [float(x) for x in cfg.get("range", [0.0, 0.0])]
+        self.operation = cfg.get("operation", "additive")
+        self.distribution = cfg.get("distribution", "gaussian")
+        self.schedule = cfg.get("schedule", None)
+        self.schedule_steps = int(cfg.get("schedule_steps", 1))
+
+    def apply(self, rng, x, step_count):
+        s = _sched_scale(self.schedule, self.schedule_steps, step_count)
+        if self.distribution == "gaussian":
+            mu, sigma = self.lo, self.hi * s
+            noise = mu + sigma * jax.random.normal(rng, x.shape)
+        else:
+            lo = self.lo * s if self.operation == "additive" else 1.0 + (self.lo - 1.0) * s
+            hi = self.hi * s if self.operation == "additive" else 1.0 + (self.hi - 1.0) * s
+            noise = jax.random.uniform(rng, x.shape, minval=lo, maxval=hi)
+        if self.operation == "scaling":
+            return x * noise
+        return x + noise
+
+
+class DomainRandomizer:
+    """Holds the parsed spec; apply_* methods are pure/jit-safe."""
+
+    def __init__(self, cfg: Optional[Dict[str, Any]]):
+        cfg = cfg or {}
+        self.enabled = bool(cfg)
+        self.frequency = int(cfg.get("frequency", 600))
+        self.obs_spec = NoiseSpec(cfg["observations"]) if "observations" in cfg else None
+        self.act_spec = NoiseSpec(cfg["actions"]) if "actions" in cfg else None
+
+        actor = cfg.get("actor_params", {}).get("humanoid", {})
+        rb = actor.get("rigid_body_properties", {})
+        self.mass_spec = NoiseSpec(rb["mass"]) if "mass" in rb else None
+        rs = actor.get("rigid_shape_properties", {})
+        self.friction_spec = NoiseSpec(rs["friction"]) if "friction" in rs else None
+        dof = actor.get("dof_properties", {})
+        self.stiffness_spec = NoiseSpec(dof["stiffness"]) if "stiffness" in dof else None
+
+    # -- per-step noise -------------------------------------------------------
+
+    def randomize_actions(self, rng, actions, step_count):
+        if not (self.enabled and self.act_spec):
+            return actions
+        return self.act_spec.apply(rng, actions, step_count)
+
+    def randomize_observations(self, rng, obs, step_count):
+        if not (self.enabled and self.obs_spec):
+            return obs
+        return self.obs_spec.apply(rng, obs, step_count)
+
+    # -- per-env property scales (resampled on schedule) ----------------------
+
+    def init_scales(self, B: int) -> Dict[str, jnp.ndarray]:
+        return {
+            "friction_scale": jnp.ones(B),
+            "mass_scale": jnp.ones(B),
+            "stiffness_scale": jnp.ones(B),
+            "dr_count": jnp.zeros(B, jnp.int32),
+        }
+
+    def resample_scales(self, rng, scales: Dict[str, jnp.ndarray], mask, step_count):
+        """Resample property scales for envs in `mask` (at reset, respecting
+        the randomization frequency)."""
+        if not self.enabled:
+            return scales
+        B = scales["friction_scale"].shape[0]
+        out = dict(scales)
+        due = mask & (scales["dr_count"] % jnp.maximum(self.frequency, 1) == 0)
+        k1, k2, k3 = jax.random.split(rng, 3)
+        if self.friction_spec:
+            f = self.friction_spec.apply(k1, jnp.ones(B), step_count)
+            out["friction_scale"] = jnp.where(due, f, scales["friction_scale"])
+        if self.mass_spec:
+            m = self.mass_spec.apply(k2, jnp.ones(B), step_count)
+            out["mass_scale"] = jnp.where(due, m, scales["mass_scale"])
+        if self.stiffness_spec:
+            s = self.stiffness_spec.apply(k3, jnp.ones(B), step_count)
+            out["stiffness_scale"] = jnp.where(due, s, scales["stiffness_scale"])
+        out["dr_count"] = scales["dr_count"] + mask.astype(jnp.int32)
+        return out

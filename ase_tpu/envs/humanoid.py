@@ -19,6 +19,7 @@ import numpy as np
 from flax import struct
 
 from ase_tpu.envs import obs as obs_kernels
+from ase_tpu.envs.domain_rand import DomainRandomizer
 from ase_tpu.ops import quat as rot
 from ase_tpu.physics import collision2, dynamics, engine, mjcf
 from ase_tpu.physics import model as M
@@ -73,7 +74,10 @@ class Humanoid:
             dt=self.sim_dt,
             substeps=int(sim.get("substeps", 2)),
             solver=engine.solver.SolverConfig(
-                iterations=2 * int(physx.get("num_position_iterations", 4)),
+                iterations=int(env_cfg.get(
+                    "solverIterations", 4 * int(physx.get("num_position_iterations", 4))
+                )),
+                scheme=str(env_cfg.get("solverScheme", "jacobi")),
                 max_depenetration_velocity=float(
                     physx.get("max_depenetration_velocity", 10.0)
                 ),
@@ -105,6 +109,12 @@ class Humanoid:
 
         self._build_pd_action_offset_scale()
         self._build_termination_heights()
+
+        # domain randomization (reference base_task.py:204-398; --randomize)
+        self._randomize = bool(cfg.get("task", {}).get("randomize", False))
+        self._dr = DomainRandomizer(
+            cfg.get("task", {}).get("randomization_params") if self._randomize else None
+        )
 
         self._initial_root_pos = jnp.array([0.0, 0.0, 0.89])
         self._initial_root_quat = rot.quat_identity(())
@@ -196,11 +206,16 @@ class Humanoid:
             aux=self._initial_aux(B),
         )
         state = self._refresh_kinematics(state)
-        state = self._post_reset(state, jnp.ones(B, bool))
+        # apply the task's reset pipeline to every env (reference BaseTask
+        # construction ends with a full reset(), base_task.py:94-99)
+        state = self._reset_envs(state, jnp.ones(B, bool))
         return state
 
     def _initial_aux(self, B: int) -> Dict[str, Any]:
-        return {}
+        aux: Dict[str, Any] = {}
+        if self._dr.enabled:
+            aux["dr"] = self._dr.init_scales(B)
+        return aux
 
     # -- kinematic refresh (the analog of refresh_*_tensor views) ------------
 
@@ -221,6 +236,13 @@ class Humanoid:
         return self._reset_envs(state, mask)
 
     def _reset_envs(self, state: EnvState, mask: jnp.ndarray) -> EnvState:
+        if self._dr.enabled:
+            state, keys = self.split_rng(state, 1)
+            aux = dict(state.aux)
+            aux["dr"] = self._dr.resample_scales(
+                keys[0], aux["dr"], mask, jnp.asarray(0.0)
+            )
+            state = state.replace(aux=aux)
         new_state, mask = self._reset_actors(state, mask)
         state = _masked_merge_phys(state, new_state, mask)
         state = state.replace(
@@ -253,15 +275,25 @@ class Humanoid:
 
     def step(self, state: EnvState, actions: jnp.ndarray) -> EnvState:
         actions = jnp.clip(actions, -1.0, 1.0)
+        if self._dr.enabled:
+            state, keys = self.split_rng(state, 1)
+            actions = self._dr.randomize_actions(
+                keys[0], actions, state.progress.astype(jnp.float32)[:, None]
+            )
         state, tgt = self.pre_physics_step(state, actions)
 
         phys = state.phys
         forces = state.contact_forces
-        step_fn = jax.vmap(
-            lambda s, a: engine.step(self.model, self.sim_cfg, self._tables, s, a)
-        )
+        if self._dr.enabled:
+            fs = state.aux["dr"]["friction_scale"]
+            gs = state.aux["dr"]["stiffness_scale"]
+        else:
+            fs = jnp.ones(self.num_envs)
+            gs = jnp.ones(self.num_envs)
         for _ in range(self.control_freq_inv):
-            out = step_fn(phys, tgt)
+            out = engine.step_batched(
+                self.model, self.sim_cfg, self._tables, phys, tgt, fs, gs
+            )
             phys = out.state
         state = state.replace(
             phys=phys,
@@ -278,6 +310,11 @@ class Humanoid:
         state = state.replace(progress=state.progress + 1)
         state = self._update_aux(state)
         obs = self._compute_observations(state)
+        if self._dr.enabled:
+            state, keys = self.split_rng(state, 1)
+            obs = self._dr.randomize_observations(
+                keys[0], obs, state.progress.astype(jnp.float32)[:, None]
+            )
         rew = self._compute_reward(state)
         reset, term = self._compute_reset(state)
         return state.replace(obs=obs, rew=rew, reset_buf=reset, terminate_buf=term)

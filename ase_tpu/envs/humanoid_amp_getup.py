@@ -47,12 +47,9 @@ class HumanoidAMPGetup(HumanoidAMP):
         )
         tgt = self._pd_action_offset[None] + self._pd_action_scale[None] * rand_actions
 
-        step_fn = jax.vmap(
-            lambda s, a: engine.step(self.model, self.sim_cfg, self._tables, s, a).state
-        )
-
         def body(s, _):
-            return step_fn(s, tgt), None
+            out = engine.step_batched(self.model, self.sim_cfg, self._tables, s, tgt)
+            return out.state, None
 
         phys, _ = jax.lax.scan(body, phys, None, length=150)
         # zero velocities, keep poses

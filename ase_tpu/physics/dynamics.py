@@ -85,7 +85,7 @@ def dof_pos(model: M.Model, state: State) -> jnp.ndarray:
 
 
 def dof_vel(model: M.Model, state: State) -> jnp.ndarray:
-    return state.u[6 : model.nu]
+    return state.u[model.root_dofs : model.nu]
 
 
 def set_dof_state(model: M.Model, state: State, dof_p: jnp.ndarray, dof_v: jnp.ndarray) -> State:
@@ -98,13 +98,17 @@ def set_dof_state(model: M.Model, state: State, dof_p: jnp.ndarray, dof_v: jnp.n
             joint_q = joint_q.at[s_ids.index(b)].set(rot.exp_map_to_quat(dof_p[off : off + 3]))
         else:
             hinge_q = hinge_q.at[h_ids.index(b)].set(dof_p[off])
-    u = state.u.at[6 : model.nu].set(dof_v)
+    u = state.u.at[model.root_dofs : model.nu].set(dof_v)
     return state._replace(joint_q=joint_q, hinge_q=hinge_q, u=u)
 
 
 def set_root_state(state: State, pos, quat, lin_vel, ang_vel) -> State:
     u = state.u.at[0:3].set(lin_vel).at[3:6].set(ang_vel)
     return state._replace(root_pos=pos, root_quat=quat, u=u)
+
+
+def has_free_root(model: M.Model) -> bool:
+    return model.jtype[0] == M.FREE
 
 
 # ---------------------------------------------------------------------------
@@ -141,7 +145,11 @@ def fk(model: M.Model, state: State) -> Kin:
         p = model.parents[b]
         if p == -1:
             quats.append(lq)
-            ps.append(state.root_pos)
+            if model.jtype[b] == M.FREE:
+                ps.append(state.root_pos)
+            else:
+                # fixed base: anchored at its MJCF placement (+ optional offset)
+                ps.append(state.root_pos + model.body_ipos[b])
         else:
             quats.append(rot.quat_mul(quats[p], lq))
             ps.append(ps[p] + rot.quat_rotate(quats[p], model.body_ipos[b]))
@@ -152,8 +160,12 @@ def fk(model: M.Model, state: State) -> Kin:
     for b in range(nb):
         p = model.parents[b]
         if p == -1:
-            w = state.u[3:6]
-            v = state.u[0:3]
+            if model.jtype[b] == M.FREE:
+                w = state.u[3:6]
+                v = state.u[0:3]
+            else:
+                w = jnp.zeros(3)
+                v = jnp.zeros(3)
         else:
             wp = vels[p][0:3]
             vp = vels[p][3:6]
@@ -240,12 +252,40 @@ class DynOut(NamedTuple):
     bias: jnp.ndarray     # (nu,) C(q,v) + g
     Phi: jnp.ndarray      # (nu, 6)
     Amask: jnp.ndarray    # (nb, nu)
-    chol: jnp.ndarray     # cholesky factor of Mmat
+
+
+def dof_body(model: M.Model) -> np.ndarray:
+    """Static (nu,) map dof index -> owning body."""
+    out = np.zeros(model.nu, dtype=np.int32)
+    for b in range(model.nb):
+        jt = model.jtype[b]
+        off = model.dof_offset[b]
+        n = {M.FREE: 6, M.SPHERICAL: 3, M.REVOLUTE: 1}.get(jt, 0)
+        out[off : off + n] = b
+    return out
+
+
+def _crba_masks(model: M.Model):
+    """Static masks for the composite-inertia mass-matrix assembly."""
+    A = ancestor_mask(model)           # (nb, nu)
+    db = dof_body(model)               # (nu,)
+    W = A[db]                          # (nu, nu): W[d,e]=1 iff dof e on path to body(d)
+    both = W * W.T                     # same-joint-body pairs (counted twice below)
+    # subtree mask: S[p, b] = 1 iff p is an ancestor-or-self of b
+    nb = model.nb
+    S = np.zeros((nb, nb), dtype=np.float32)
+    for b in range(nb):
+        cur = b
+        while cur != -1:
+            S[cur, b] = 1.0
+            cur = model.parents[cur]
+    return A, W, both, S
 
 
 def compute_dynamics(model: M.Model, state: State, kin: Kin, dt: float) -> DynOut:
     origin = state.root_pos
-    A = jnp.asarray(ancestor_mask(model))
+    A_np, W_np, both_np, S_np = _crba_masks(model)
+    A = jnp.asarray(A_np)
     Phi, Phid = motion_subspace(model, kin, origin)
 
     u_art = state.u[: model.nu]
@@ -257,9 +297,17 @@ def compute_dynamics(model: M.Model, state: State, kin: Kin, dt: float) -> DynOu
     )
     I_sp = sp.spatial_inertia(model.mass[:nb], kin.com_world - origin[None, :], I_com_w)
 
-    # mass matrix via masked Jacobians
-    J = A[:, :, None] * Phi[None, :, :]            # (nb, nu, 6)
-    Mmat = _einsum("bdk,bkl,bel->de", J, I_sp, J)
+    # composite rigid-body inertias (all expressed at the common origin, so
+    # subtree composition is a masked sum — the CRBA trick without transforms)
+    Ic = _einsum("pb,bkl->pkl", jnp.asarray(S_np), I_sp)
+
+    # M[d,e] = φ_d^T Ic[body(d)] φ_e for e on the path to body(d); symmetric.
+    db = jnp.asarray(dof_body(model))
+    F = _einsum("dkl,dl->dk", Ic[db], Phi)         # (nu, 6)
+    G = _einsum("dk,ek->de", F, Phi)               # (nu, nu)
+    W = jnp.asarray(W_np)
+    both = jnp.asarray(both_np)
+    Mmat = W * G + (W * G).T - both * G
 
     # bias accelerations & forces
     phiu = Phid * u_art[:, None]                   # (nu, 6)
@@ -280,14 +328,15 @@ def compute_dynamics(model: M.Model, state: State, kin: Kin, dt: float) -> DynOu
     bias = jnp.sum(Phi * Fd, axis=-1)
 
     # armature + SPD implicit damping on the diagonal (articulation dofs only)
+    rd = model.root_dofs
     diag = jnp.zeros(model.nu)
-    diag = diag.at[6:].add(model.armature + dt * model.damping)
+    diag = diag.at[rd:].add(model.armature + dt * model.damping)
+    if rd == 6:
+        # root angular damping (asset option angular_damping=0.01)
+        diag = diag.at[3:6].add(dt * model.ang_damping)
     Mmat = Mmat + jnp.diag(diag)
-    # root angular damping (asset option angular_damping=0.01)
-    Mmat = Mmat + jnp.diag(jnp.concatenate([jnp.zeros(3), jnp.full(3, dt * model.ang_damping), jnp.zeros(model.nu - 6)]))
 
-    chol = jax.scipy.linalg.cho_factor(Mmat, lower=True)[0]
-    return DynOut(Mmat, bias, Phi, A, chol)
+    return DynOut(Mmat, bias, Phi, A)
 
 
 def pd_torques(

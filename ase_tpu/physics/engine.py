@@ -1,25 +1,30 @@
-"""The simulation engine: a single pure `step` fused over substeps.
+"""The simulation engine: a single pure batched `step` fused over substeps.
 
 TPU-native replacement for the reference's per-step PhysX calls
 (``gym.set_dof_position_target_tensor`` → ``gym.simulate`` ×substeps →
 ``refresh_*_tensor``; reference ``ase/env/tasks/humanoid.py:417-444`` and
-``base_task.py:403-407``). One call advances a whole environment one control
-step (control_freq_inv × substeps solver ticks) and returns the refreshed
-body-state views (root states, dof states, rigid-body states, net contact
-forces) exactly mirroring the Isaac Gym tensor API so the env layer maps 1:1.
+``base_task.py:403-407``). One call advances a whole batch of environments one
+sim tick and returns the refreshed body-state views (root states, dof states,
+rigid-body states, net contact forces) mirroring the Isaac Gym tensor API so
+the env layer maps 1:1.
 
-Batching: every function is written for a single env and vmapped here; under
-`jit` the full (rollout × control × substep) loop nests into one XLA program.
+Performance-critical structure: per-env logic (FK, dynamics assembly,
+collision, Jacobians, the contact iteration) is vmapped, but the dense linear
+algebra — Cholesky factorization of the joint-space inertia and the
+triangular solves — runs as NATIVE batched lax ops at the top level
+(vmapping ``cho_factor`` lowers to a path ~65x slower than the batched
+primitive, measured on TPU v5e).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
+from ase_tpu.ops import linalg3
 from ase_tpu.ops import quat as rot
 from ase_tpu.physics import collision2, dynamics, solver
 from ase_tpu.physics import model as M
@@ -29,7 +34,7 @@ _einsum = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 
 class SimConfig(NamedTuple):
-    dt: float = 1.0 / 60.0             # control-rate-independent sim dt (SIM_TIMESTEP)
+    dt: float = 1.0 / 60.0             # SIM_TIMESTEP (reference config.py:12)
     substeps: int = 2
     solver: solver.SolverConfig = solver.SolverConfig()
     max_contacts: int = 24
@@ -40,132 +45,203 @@ class SimConfig(NamedTuple):
 
 
 class StepOut(NamedTuple):
-    state: State
-    body_pos: jnp.ndarray        # (nb, 3)
-    body_quat: jnp.ndarray       # (nb, 4)
-    body_vel: jnp.ndarray        # (nb, 3) linear, world
-    body_ang_vel: jnp.ndarray    # (nb, 3) world
-    contact_forces: jnp.ndarray  # (nb + np, 3)
+    state: State                 # batched
+    body_pos: jnp.ndarray        # (B, nb, 3)
+    body_quat: jnp.ndarray       # (B, nb, 4)
+    body_vel: jnp.ndarray        # (B, nb, 3) linear, world
+    body_ang_vel: jnp.ndarray    # (B, nb, 3) world
+    contact_forces: jnp.ndarray  # (B, nb + np, 3)
 
 
-def _substep(model: M.Model, cfg: SimConfig, tables, state: State, action: jnp.ndarray):
+def _chol_batched(Mb: jnp.ndarray) -> jnp.ndarray:
+    """Batched Cholesky via the native lax primitive (NOT under vmap)."""
+    return jax.lax.linalg.cholesky(Mb, symmetrize_input=False)
+
+
+def _chol_solve_batched(L: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Solve (L L^T) x = rhs for batched L (B,n,n), rhs (B,n,m)."""
+    y = jax.lax.linalg.triangular_solve(
+        L, rhs, left_side=True, lower=True, transpose_a=False
+    )
+    return jax.lax.linalg.triangular_solve(
+        L, y, left_side=True, lower=True, transpose_a=True
+    )
+
+
+def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
+                     actions: jnp.ndarray, friction_scale, gain_scale):
     h = cfg.dt / cfg.substeps
+    nu = model.nu
+    Bn = actions.shape[0]
 
-    kin = dynamics.fk(model, state)
-    dyn = dynamics.compute_dynamics(model, state, kin, h)
+    kin = jax.vmap(lambda s: dynamics.fk(model, s))(states)
+    dyn = jax.vmap(lambda s, k: dynamics.compute_dynamics(model, s, k, h))(states, kin)
 
     # actuation
     if cfg.torque_control:
-        tau = action * model.motor_gear * cfg.power_scale
+        tau = actions * model.motor_gear[None, :] * cfg.power_scale
     else:
-        tau = dynamics.pd_torques(model, state, action, h)
-    tau = tau + dynamics.limit_torques(model, state, cfg.limit_stiffness)
-    tau_full = jnp.zeros(model.nu).at[6:].set(tau)
+        tau = jax.vmap(lambda s, a: dynamics.pd_torques(model, s, a, h))(states, actions)
+    tau = tau * gain_scale[:, None] + jax.vmap(
+        lambda s: dynamics.limit_torques(model, s, cfg.limit_stiffness)
+    )(states)
+    tau_full = jnp.zeros((Bn, nu)).at[:, model.root_dofs :].set(tau)
 
-    qdd = jax.scipy.linalg.cho_solve((dyn.chol, True), tau_full - dyn.bias)
-    u_art = state.u[: model.nu] + h * qdd
+    # forward dynamics: batched Cholesky solve
+    L = _chol_batched(dyn.Mmat)
+    qdd = _chol_solve_batched(L, (tau_full - dyn.bias)[..., None])[..., 0]
+    u_art = states.u[:, :nu] + h * qdd
 
-    # free props: gravity + gyroscopic terms
-    prop_R = rot.quat_to_rotation_matrix(state.prop_quat)
-    u_props = []
-    for k in range(model.num_props):
-        blk = state.u[model.nu + 6 * k : model.nu + 6 * k + 6]
-        v = blk[0:3] + h * model.gravity
-        I_w = _einsum("ij,jk,lk->il", prop_R[k], model.inertia[model.nb + k], prop_R[k])
-        w = blk[3:6]
-        wdot = jnp.linalg.solve(I_w, -jnp.cross(w, I_w @ w))
+    # free props: gravity + gyroscopic terms (batched closed form)
+    prop_R = rot.quat_to_rotation_matrix(states.prop_quat)   # (B, np, 3, 3)
+    if model.num_props > 0:
+        blk = states.u[:, nu:].reshape(Bn, model.num_props, 6)
+        v = blk[..., 0:3] + h * model.gravity
+        I_w = _einsum(
+            "bpij,pjk,bplk->bpil", prop_R, model.inertia[model.nb :], prop_R
+        )
+        w = blk[..., 3:6]
+        Iww = _einsum("bpij,bpj->bpi", I_w, w)
+        wdot = linalg3.solve3(I_w, -jnp.cross(w, Iww))
         w = (w + h * wdot) / (1.0 + h * model.ang_damping)
-        u_props.append(jnp.concatenate([v, w]))
-    u_free = jnp.concatenate([u_art] + u_props) if u_props else u_art
+        u_free = jnp.concatenate(
+            [u_art, jnp.concatenate([v, w], axis=-1).reshape(Bn, -1)], axis=-1
+        )
+    else:
+        u_free = u_art
 
-    # contacts
-    contacts = collision2.detect(
-        model, tables, kin.body_R, kin.body_pos, prop_R, state.prop_pos, cfg.max_contacts
-    )
-    J = solver.contact_jacobian(
-        model, contacts, dyn.Phi, dyn.Amask, state.root_pos, state.prop_pos
-    )
-    minv = solver.make_minv_apply(model, dyn.chol, prop_R)
-    u_new, lam, body_forces = solver.solve(
-        model, contacts, J, minv, u_free, h, cfg.solver
-    )
+    # contacts (vmapped detection + jacobian; DR friction scaling per env)
+    contacts = jax.vmap(
+        lambda bR, bp, pR, pp: collision2.detect(
+            model, tables, bR, bp, pR, pp, cfg.max_contacts
+        )
+    )(kin.body_R, kin.body_pos, prop_R, states.prop_pos)
+    contacts = contacts._replace(friction=contacts.friction * friction_scale[:, None])
+
+    J = jax.vmap(
+        lambda c, phi, am, o, pp: solver.contact_jacobian(model, c, phi, am, o, pp)
+    )(contacts, dyn.Phi, dyn.Amask, states.root_pos, states.prop_pos)
+
+    # W = M^{-1} J^T : batched triangular solves for the articulation block,
+    # closed-form 3x3 inverses for the prop blocks
+    K = J.shape[1]  # actual contact budget (<= cfg.max_contacts)
+    Jf = J.reshape(Bn, K * 3, model.nv)
+    W_art = _chol_solve_batched(L, jnp.swapaxes(Jf[..., :nu], 1, 2))   # (B, nu, 3K)
+    if model.num_props > 0:
+        Jp = jnp.swapaxes(Jf[..., nu:], 1, 2).reshape(Bn, model.num_props, 6, K * 3)
+        lin = Jp[:, :, 0:3, :] / model.mass[None, model.nb :, None, None]
+        I_w_inv = linalg3.inv3(I_w)                                    # (B, np, 3, 3)
+        ang = _einsum("bpij,bpjm->bpim", I_w_inv, Jp[:, :, 3:6, :])
+        W_prop = jnp.concatenate([lin, ang], axis=2).reshape(Bn, -1, K * 3)
+        W = jnp.concatenate([W_art, W_prop], axis=1)                   # (B, nv, 3K)
+    else:
+        W = W_art
+
+    u_new, lam, body_forces = jax.vmap(
+        lambda c, Jv, Wv, uf: solver.solve(model, c, Jv, Wv, uf, h, cfg.solver)
+    )(contacts, J, W, u_free)
 
     # clamp angular velocities (asset option max_angular_velocity)
     def clamp_w(w):
-        n = jnp.linalg.norm(w) + 1e-9
+        n = jnp.linalg.norm(w, axis=-1, keepdims=True) + 1e-9
         return w * jnp.minimum(1.0, model.max_ang_vel / n)
 
-    u_new = u_new.at[3:6].set(clamp_w(u_new[3:6]))
-
-    # integrate positions (semi-implicit Euler with new velocities)
-    root_pos = state.root_pos + h * u_new[0:3]
-    root_quat = rot.quat_integrate(state.root_quat, u_new[3:6], h)
+    if model.root_dofs == 6:
+        u_new = u_new.at[:, 3:6].set(clamp_w(u_new[:, 3:6]))
+        # integrate root pose (semi-implicit Euler with new velocities)
+        root_pos = states.root_pos + h * u_new[:, 0:3]
+        root_quat = rot.quat_integrate(states.root_quat, u_new[:, 3:6], h)
+    else:
+        root_pos = states.root_pos
+        root_quat = states.root_quat
 
     s_ids = dynamics.sph_ids(model)
-    joint_q = state.joint_q
-    for i, b in enumerate(s_ids):
-        off = model.dof_offset[b]
-        joint_q = joint_q.at[i].set(
-            rot.quat_integrate_local(joint_q[i], u_new[off : off + 3], h)
+    if s_ids:
+        w_loc = jnp.stack(
+            [u_new[:, model.dof_offset[b] : model.dof_offset[b] + 3] for b in s_ids],
+            axis=1,
         )
+        joint_q = rot.quat_integrate_local(states.joint_q, w_loc, h)
+    else:
+        joint_q = states.joint_q
     h_ids = dynamics.hinge_ids(model)
-    hinge_q = state.hinge_q
-    for i, b in enumerate(h_ids):
-        off = model.dof_offset[b]
-        hinge_q = hinge_q.at[i].add(h * u_new[off])
+    if h_ids:
+        h_offs = jnp.asarray([model.dof_offset[b] for b in h_ids])
+        hinge_q = states.hinge_q + h * u_new[:, h_offs]
+    else:
+        hinge_q = states.hinge_q
 
-    prop_pos = state.prop_pos
-    prop_quat = state.prop_quat
-    for k in range(model.num_props):
-        off = model.nu + 6 * k
-        w = clamp_w(u_new[off + 3 : off + 6])
-        u_new = u_new.at[off + 3 : off + 6].set(w)
-        prop_pos = prop_pos.at[k].add(h * u_new[off : off + 3])
-        prop_quat = prop_quat.at[k].set(rot.quat_integrate(prop_quat[k], w, h))
+    prop_pos = states.prop_pos
+    prop_quat = states.prop_quat
+    if model.num_props > 0:
+        blk = u_new[:, nu:].reshape(Bn, model.num_props, 6)
+        wp = clamp_w(blk[..., 3:6])
+        u_new = u_new.at[:, nu:].set(
+            jnp.concatenate([blk[..., 0:3], wp], axis=-1).reshape(Bn, -1)
+        )
+        prop_pos = prop_pos + h * blk[..., 0:3]
+        prop_quat = rot.quat_integrate(prop_quat, wp, h)
 
-    new_state = State(
-        root_pos=root_pos,
-        root_quat=root_quat,
-        joint_q=joint_q,
-        hinge_q=hinge_q,
-        u=u_new,
-        prop_pos=prop_pos,
-        prop_quat=prop_quat,
+    new_states = State(
+        root_pos=root_pos, root_quat=root_quat, joint_q=joint_q,
+        hinge_q=hinge_q, u=u_new, prop_pos=prop_pos, prop_quat=prop_quat,
     )
-    return new_state, body_forces
+    return new_states, body_forces
 
 
-def step(model: M.Model, cfg: SimConfig, tables, state: State, action: jnp.ndarray) -> StepOut:
-    """Advance one sim tick (cfg.substeps solver substeps), single env."""
+def step_batched(model: M.Model, cfg: SimConfig, tables, states: State,
+                 actions: jnp.ndarray, friction_scale=None, gain_scale=None) -> StepOut:
+    """Advance one sim tick (cfg.substeps solver substeps), batched envs.
+
+    friction_scale/gain_scale are per-env domain-randomization multipliers
+    (reference base_task.py apply_randomizations property scaling)."""
+    B = actions.shape[0]
+    if friction_scale is None:
+        friction_scale = jnp.ones(B)
+    if gain_scale is None:
+        gain_scale = jnp.ones(B)
 
     def body(carry, _):
         st, _ = carry
-        st, forces = _substep(model, cfg, tables, st, action)
+        st, forces = _substep_batched(
+            model, cfg, tables, st, actions, friction_scale, gain_scale
+        )
         return (st, forces), None
 
-    init_forces = jnp.zeros((model.nb + model.num_props, 3))
-    (state, forces), _ = jax.lax.scan(
-        body, (state, init_forces), None, length=cfg.substeps
+    init_forces = jnp.zeros((B, model.nb + model.num_props, 3))
+    (states, forces), _ = jax.lax.scan(
+        body, (states, init_forces), None, length=cfg.substeps
     )
 
-    kin = dynamics.fk(model, state)
-    body_vel = kin.body_vel[:, 3:6]
-    body_ang_vel = kin.body_vel[:, 0:3]
+    kin = jax.vmap(lambda s: dynamics.fk(model, s))(states)
     return StepOut(
-        state=state,
+        state=states,
         body_pos=kin.body_pos,
         body_quat=kin.body_quat,
-        body_vel=body_vel,
-        body_ang_vel=body_ang_vel,
+        body_vel=kin.body_vel[..., 3:6],
+        body_ang_vel=kin.body_vel[..., 0:3],
         contact_forces=forces,
     )
 
 
+# -- single-env compatibility wrapper ----------------------------------------
+
+def step(model: M.Model, cfg: SimConfig, tables, state: State, action: jnp.ndarray,
+         friction_scale=1.0, gain_scale=1.0) -> StepOut:
+    """Single-env step (adds/removes a batch axis around step_batched)."""
+    states = jax.tree_util.tree_map(lambda x: x[None], state)
+    out = step_batched(
+        model, cfg, tables, states, action[None],
+        jnp.asarray(friction_scale)[None].reshape(1),
+        jnp.asarray(gain_scale)[None].reshape(1),
+    )
+    return jax.tree_util.tree_map(lambda x: x[0], out)
+
+
 def make_batched_step(model: M.Model, cfg: SimConfig):
-    """vmapped step: (state_batch, action (B, nd)) -> StepOut batch."""
+    """(state_batch, action (B, nd)) -> StepOut batch."""
     tables = collision2.build_tables(model, cfg.enable_self_collision)
-    f = partial(step, model, cfg, tables)
-    return jax.vmap(f)
+    return partial(step_batched, model, cfg, tables)
 
 
 def batch_default_state(model: M.Model, batch: int) -> State:

@@ -240,6 +240,10 @@ def load_mjcf(path: str) -> M.Model:
             jtype.append(M.FREE)
             nu += 6
             continue
+        if b == 0 and not joints:
+            # fixed-base articulation (welded to the world)
+            jtype.append(-1)
+            continue
         if len(joints) == 0:
             jtype.append(-1)  # fixed weld to parent
             continue

@@ -95,9 +95,13 @@ class Model:
         return len(self.body_names)
 
     @property
+    def root_dofs(self) -> int:
+        return 6 if self.jtype[0] == FREE else 0
+
+    @property
     def nd(self) -> int:
         """Actuated dof count (reference num_dof; excludes root + props)."""
-        return self.nu - 6
+        return self.nu - self.root_dofs
 
     @property
     def nv(self) -> int:

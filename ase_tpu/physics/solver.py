@@ -1,12 +1,21 @@
-"""Velocity-level contact impulse solver (projected Gauss-Seidel).
+"""Velocity-level contact impulse solver.
 
 The TPU-native counterpart of PhysX's TGS iterative contact solver configured
-by the reference env YAMLs (``sim.physx`` block: solver_type/iteration counts;
-reference ``ase/utils/config.py:135-142``). Operates on the generalized system
-(articulation dofs + free-prop dofs): contact Jacobians are projected into
-joint space, impulses solved with PGS sweeps over a fixed-size contact set,
-and the velocity update applied through the articulation mass matrix — so
-contacts correctly couple through the whole kinematic chain.
+by the reference env YAMLs (``sim.physx`` block, reference
+``ase/utils/config.py:135-142``). Contacts are solved on the generalized
+system (articulation dofs + free-prop dofs): Jacobians projected into joint
+space, impulses solved iteratively, velocities updated through the
+articulation mass matrix so contacts couple through the whole kinematic chain.
+
+Two iteration schemes:
+
+* ``jacobi`` (default): block-preconditioned projected Jacobi with
+  under-relaxation. Every iteration is ONE batched (3K×3K) matvec plus
+  elementwise projection — no sequential per-contact loop — which is the
+  shape TPUs want (the classic Gauss-Seidel sweep serializes into hundreds of
+  tiny kernels).
+* ``pgs``: classic sequential projected Gauss-Seidel (better per-iteration
+  convergence; used for small-batch validation runs).
 
 Everything is static-shape; inactive contacts (depth<=0 padding from top_k)
 are masked to zero impulse.
@@ -20,6 +29,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ase_tpu.ops import linalg3
 from ase_tpu.ops import spatial as sp
 from ase_tpu.physics import model as M
 from ase_tpu.physics.collision import Contacts
@@ -28,7 +38,9 @@ _einsum = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 
 class SolverConfig(NamedTuple):
-    iterations: int = 8
+    iterations: int = 16
+    relaxation: float = 0.55           # Jacobi under-relaxation
+    scheme: str = "jacobi"             # "jacobi" | "pgs"
     baumgarte: float = 0.2
     slop: float = 0.002
     max_depenetration_velocity: float = 10.0  # PhysX param parity
@@ -56,84 +68,76 @@ def contact_jacobian(
     origin: jnp.ndarray,    # (3,)
     prop_pos: jnp.ndarray,  # (np, 3)
 ) -> jnp.ndarray:
-    """J (K, 3, nv): rows map generalized velocity -> contact-frame relative
-    velocity [n, t1, t2] of body_a w.r.t. body_b."""
+    """J (K, 3, nv): generalized velocity -> contact-frame relative velocity
+    [n, t1, t2] of body_a w.r.t. body_b. Fully vectorized (no scatters)."""
     K = contacts.pos.shape[0]
-    nv = model.nv
     nb = model.nb
+    nu = model.nu
 
     t1, t2 = _tangent_basis(contacts.normal)
     basis = jnp.stack([contacts.normal, t1, t2], axis=1)  # (K, 3, 3)
 
-    def body_point_jac(b, p):
-        """(3, nv) jacobian of world velocity of point p on body b."""
-        # articulation side (b < nb): v_p = phi_lin + phi_ang x (p - origin)
-        lever = p - origin
-        Jp_art = Phi[:, 3:6] + jnp.cross(Phi[:, 0:3], jnp.broadcast_to(lever, (model.nu, 3)))
-        mask = jnp.where(b >= 0, Amask[jnp.clip(b, 0, nb - 1)], jnp.zeros(model.nu))
-        mask = jnp.where(b < nb, mask, jnp.zeros(model.nu))
-        J = jnp.zeros((3, nv)).at[:, : model.nu].set((mask[:, None] * Jp_art).T)
+    # articulation part: the point jacobian is the same for any body at this
+    # point; only the ancestor-dof mask differs, so J_rel = (mask_a-mask_b)⊙Jp.
+    # Projected form (avoids the (K,nu,3) cross-product intermediate):
+    #   J[k,i,v] = m[k,v]·( basis[k,i]·Φ_lin[v] + (lever[k]×basis[k,i])·Φ_ang[v] )
+    lever = contacts.pos - origin[None, :]                       # (K, 3)
+    C = jnp.cross(lever[:, None, :], basis)                      # (K, 3, 3)
+    B1 = _einsum("kij,vj->kiv", basis, Phi[:, 3:6])
+    B2 = _einsum("kij,vj->kiv", C, Phi[:, 0:3])
+    Jp_proj = B1 + B2                                            # (K, 3, nu)
 
-        if model.num_props > 0:
-            # prop side: v_p = v + w x (p - c)
-            k = jnp.clip(b - nb, 0, model.num_props - 1)
-            r = p - prop_pos[k]
-            Jl = jnp.eye(3)
-            Jw = -sp.skew(r)
-            is_prop = (b >= nb)
-            block = jnp.concatenate([Jl, Jw], axis=1) * is_prop
-            J = jax.lax.dynamic_update_slice(
-                J, J[:, model.nu + 6 * k : model.nu + 6 * k + 6] + block,
-                (0, model.nu + 6 * k),
-            )
-        return J
+    def art_mask(b):
+        valid = (b >= 0) & (b < nb)
+        return jnp.where(valid, Amask[jnp.clip(b, 0, nb - 1)], jnp.zeros(nu))
 
-    Ja = jax.vmap(body_point_jac)(contacts.body_a, contacts.pos)
-    Jb = jax.vmap(body_point_jac)(contacts.body_b, contacts.pos)
-    return _einsum("kij,kjv->kiv", basis, Ja - Jb)
+    m_a = jax.vmap(art_mask)(contacts.body_a)                    # (K, nu)
+    m_b = jax.vmap(art_mask)(contacts.body_b)
+    J_art_proj = (m_a - m_b)[:, None, :] * Jp_proj               # (K, 3, nu)
+
+    if model.num_props > 0:
+        npr = model.num_props
+        prop_ids = nb + jnp.arange(npr)                          # (np,)
+        s_a = (contacts.body_a[:, None] == prop_ids[None, :]).astype(jnp.float32)
+        s_b = (contacts.body_b[:, None] == prop_ids[None, :]).astype(jnp.float32)
+        sgn = s_a - s_b                                          # (K, np)
+        r = contacts.pos[:, None, :] - prop_pos[None, :, :]      # (K, np, 3)
+        eye = jnp.broadcast_to(jnp.eye(3), (K, npr, 3, 3))
+        Jw = -sp.skew(r)                                         # (K, np, 3, 3)
+        blocks = jnp.concatenate([eye, Jw], axis=-1)             # (K, np, 3, 6) rows=v_p dims, cols=[lin, ang]
+        blocks = blocks * sgn[:, :, None, None]
+        # project into contact frame then lay out as (K, 3, np*6)
+        J_prop_proj = _einsum("kij,kpjc->kipc", basis, blocks).reshape(K, 3, npr * 6)
+        return jnp.concatenate([J_art_proj, J_prop_proj], axis=2)  # (K, 3, nv)
+    return J_art_proj
 
 
-def make_minv_apply(model: M.Model, chol, prop_R):
-    """Returns f(X: (nv, m)) = M^{-1} X using block structure:
-    dense Cholesky for the articulation, closed-form 6x6 for each prop."""
-
-    def apply(X):
-        top = jax.scipy.linalg.cho_solve((chol, True), X[: model.nu])
-        if model.num_props == 0:
-            return top
-        outs = [top]
-        for k in range(model.num_props):
-            blk = X[model.nu + 6 * k : model.nu + 6 * k + 6]
-            m = model.mass[model.nb + k]
-            I_w = _einsum(
-                "ij,jk,lk->il", prop_R[k], model.inertia[model.nb + k], prop_R[k]
-            )
-            lin = blk[0:3] / m
-            ang = jnp.linalg.solve(I_w, blk[3:6])
-            outs.append(jnp.concatenate([lin, ang], axis=0))
-        return jnp.concatenate(outs, axis=0)
-
-    return apply
+def _project(lam_blocks, mu, active):
+    """Coulomb cone projection per contact block (K,3)."""
+    ln = jnp.maximum(lam_blocks[:, 0], 0.0)
+    lt = lam_blocks[:, 1:3]
+    lt_norm = jnp.linalg.norm(lt, axis=-1) + 1e-9
+    scale = jnp.minimum(1.0, mu * ln / lt_norm)
+    return jnp.concatenate([ln[:, None], lt * scale[:, None]], axis=-1) * active[:, None]
 
 
 def solve(
     model: M.Model,
     contacts: Contacts,
     J: jnp.ndarray,          # (K, 3, nv)
-    minv_apply,
+    W: jnp.ndarray,          # (nv, 3K) = M^{-1} J^T (precomputed, batched-solve)
     u_free: jnp.ndarray,     # (nv,)
     dt: float,
     cfg: SolverConfig,
 ):
-    """PGS over contacts. Returns (u_new, lambda (K,3), body_forces (nb+np,3))."""
+    """Solve contact impulses. Returns (u_new, lambda (K,3), body_forces)."""
     K = J.shape[0]
     nv = J.shape[-1]
 
-    active = contacts.depth > 0.0
+    active = (contacts.depth > 0.0).astype(jnp.float32)
     mu = contacts.friction * active
 
     Jf = J.reshape(K * 3, nv)
-    W = minv_apply(Jf.T)                      # (nv, 3K)
     A = _einsum("iv,vj->ij", Jf, W)           # (3K, 3K)
     A = A + cfg.regularization * jnp.eye(K * 3)
     Ablk = A.reshape(K, 3, K, 3)
@@ -143,32 +147,37 @@ def solve(
         cfg.baumgarte / dt * jnp.maximum(contacts.depth - cfg.slop, 0.0),
         cfg.max_depenetration_velocity,
     )
+    target = jnp.concatenate(
+        [v_bias[:, None], jnp.zeros((K, 2))], axis=-1
+    )                                         # (K, 3)
     v0 = _einsum("kiv,v->ki", J, u_free)      # (K, 3)
 
     ar = jnp.arange(K)
-    diag = Ablk[ar, :, ar, :]  # (K, 3, 3)
-    diag_inv = jnp.linalg.inv(diag)
+    diag = Ablk[ar, :, ar, :]                 # (K, 3, 3)
+    diag = diag + 1e-5 * jnp.eye(3)
+    diag_inv = linalg3.inv3(diag)
 
-    def sweep(_, lam):
-        def body(carry, k):
-            lam = carry
-            vk = v0[k] + _einsum("ijl,jl->i", Ablk[k], lam)
-            target = jnp.array([v_bias[k], 0.0, 0.0])
-            dlam = _einsum("ij,j->i", diag_inv[k], target - vk)
-            new = lam[k] + dlam
-            # project: non-negative normal, Coulomb disc for friction
-            ln = jnp.maximum(new[0], 0.0)
-            lt = new[1:3]
-            lt_norm = jnp.linalg.norm(lt) + 1e-9
-            scale = jnp.minimum(1.0, mu[k] * ln / lt_norm)
-            new = jnp.concatenate([ln[None], lt * scale]) * active[k]
-            lam = lam.at[k].set(new)
-            return lam, None
+    if cfg.scheme == "jacobi":
+        omega = cfg.relaxation
 
-        lam, _ = jax.lax.scan(body, lam, jnp.arange(K))
-        return lam
+        def it(_, lam):
+            r = v0 + _einsum("ij,j->i", A, lam.reshape(-1)).reshape(K, 3)
+            dlam = _einsum("kij,kj->ki", diag_inv, target - r)
+            return _project(lam + omega * dlam, mu, active)
 
-    lam = jax.lax.fori_loop(0, cfg.iterations, sweep, jnp.zeros((K, 3)))
+        lam = jax.lax.fori_loop(0, cfg.iterations, it, jnp.zeros((K, 3)))
+    else:  # sequential PGS (reference-style solver sweeps)
+        def sweep(_, lam):
+            def body(lam, k):
+                vk = v0[k] + _einsum("ijl,jl->i", Ablk[k], lam)
+                dlam = _einsum("ij,j->i", diag_inv[k], target[k] - vk)
+                new = _project((lam[k] + dlam)[None], mu[k][None], active[k][None])[0]
+                return lam.at[k].set(new), None
+
+            lam, _ = jax.lax.scan(body, lam, jnp.arange(K))
+            return lam
+
+        lam = jax.lax.fori_loop(0, cfg.iterations, sweep, jnp.zeros((K, 3)))
 
     impulse = _einsum("vj,j->v", W, lam.reshape(-1))
     u_new = u_free + impulse
@@ -185,6 +194,8 @@ def solve(
     body_forces = body_forces.at[ba].add(f_world * active[:, None])
     has_b = contacts.body_b >= 0
     bb = jnp.clip(contacts.body_b, 0, nbp - 1)
-    body_forces = body_forces.at[bb].add(-f_world * (active & has_b)[:, None])
+    body_forces = body_forces.at[bb].add(
+        -f_world * (active * has_b.astype(jnp.float32))[:, None]
+    )
 
     return u_new, lam, body_forces
