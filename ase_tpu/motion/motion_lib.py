@@ -228,14 +228,94 @@ def load_motion_npy(path: str):
     return tree, rotation, root_translation, fps, gv, gav
 
 
+_CACHE_FIELDS = ("gts", "grs", "lrs", "gvs", "gavs", "dvs",
+                 "length_starts", "lengths", "num_frames", "dt", "weights")
+
+
+def _cache_path(motion_file: str, files, weights, dof_body_ids, dof_offsets) -> str:
+    import hashlib
+
+    h = hashlib.sha1()
+    for f, w in zip(files, weights):
+        try:
+            h.update(f"{f}:{os.path.getmtime(f)}:{w};".encode())
+        except OSError:
+            h.update(f"{f}:?:{w};".encode())
+    h.update(repr((tuple(dof_body_ids), tuple(dof_offsets))).encode())
+    base = os.path.basename(motion_file).replace(".", "_")
+    cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "ase_tpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    return os.path.join(cache_dir, f"{base}_{h.hexdigest()[:16]}.msc")
+
+
+def _try_native_cache(path: str):
+    """mmap a compiled dataset cache (zero-copy) via the C++ extension."""
+    from ase_tpu import native as native_mod
+
+    mc = native_mod.get_motion_cache()
+    if mc is None or not os.path.exists(path):
+        return None
+    try:
+        entries, capsule = mc.load(path)
+    except Exception:
+        return None
+    out = {}
+    for (name, dtype, shape, view) in entries:
+        out[name] = np.frombuffer(view, dtype=np.dtype(dtype)).reshape(shape)
+    out["__capsule__"] = capsule  # keep the mapping alive
+    return out
+
+
+def _save_native_cache(path: str, arrays: dict) -> None:
+    from ase_tpu import native as native_mod
+
+    mc = native_mod.get_motion_cache()
+    if mc is None:
+        return
+    names, dtypes, shapes, bufs = [], [], [], []
+    for k in _CACHE_FIELDS:
+        a = np.ascontiguousarray(arrays[k])
+        names.append(k)
+        dtypes.append(a.dtype.str)
+        shapes.append(tuple(int(x) for x in a.shape))
+        bufs.append(a)
+    try:
+        mc.pack(path, names, dtypes, shapes, bufs)
+    except Exception:
+        pass
+
+
 def load_motion_lib(
     motion_file: str,
     dof_body_ids: Sequence[int],
     dof_offsets: Sequence[int],
     key_body_ids: Sequence[int],
+    use_cache: bool = True,
 ) -> MotionLib:
     files, weights = _fetch_motion_files(motion_file)
     num_dof = int(dof_offsets[-1])
+
+    if use_cache:
+        cpath = _cache_path(motion_file, files, weights, dof_body_ids, dof_offsets)
+        cached = _try_native_cache(cpath)
+        if cached is not None:
+            lib = MotionLib(
+                gts=jnp.asarray(cached["gts"]), grs=jnp.asarray(cached["grs"]),
+                lrs=jnp.asarray(cached["lrs"]), gvs=jnp.asarray(cached["gvs"]),
+                gavs=jnp.asarray(cached["gavs"]), dvs=jnp.asarray(cached["dvs"]),
+                dps=jnp.zeros((1,)),
+                length_starts=jnp.asarray(cached["length_starts"]),
+                lengths=jnp.asarray(cached["lengths"]),
+                num_frames=jnp.asarray(cached["num_frames"]),
+                dt=jnp.asarray(cached["dt"]),
+                weights=jnp.asarray(cached["weights"]),
+                key_body_ids=jnp.asarray(np.asarray(key_body_ids, dtype=np.int32)),
+                dof_body_ids=tuple(int(i) for i in dof_body_ids),
+                dof_offsets=tuple(int(i) for i in dof_offsets),
+                num_joints=int(cached["gts"].shape[1]),
+            )
+            dps = jax.jit(local_rotation_to_dof)(lib, lib.lrs)
+            return lib.replace(dps=dps)
 
     all_gts, all_grs, all_lrs, all_gvs, all_gavs, all_dvs, all_dps = (
         [], [], [], [], [], [], [],
@@ -276,6 +356,17 @@ def load_motion_lib(
     w = w / w.sum()
     nf = np.asarray(nframes, dtype=np.int32)
     starts = np.concatenate([[0], np.cumsum(nf)[:-1]]).astype(np.int32)
+
+    if use_cache:
+        _save_native_cache(cpath, {
+            "gts": np.concatenate(all_gts), "grs": np.concatenate(all_grs),
+            "lrs": np.concatenate(all_lrs), "gvs": np.concatenate(all_gvs),
+            "gavs": np.concatenate(all_gavs), "dvs": np.concatenate(all_dvs),
+            "length_starts": starts,
+            "lengths": np.asarray(lengths, dtype=np.float32),
+            "num_frames": nf, "dt": np.asarray(dts, dtype=np.float32),
+            "weights": w,
+        })
 
     lib = MotionLib(
         gts=jnp.asarray(np.concatenate(all_gts)),
