@@ -187,6 +187,12 @@ class Humanoid:
         )
 
     def initial_state(self, rng: jnp.ndarray) -> EnvState:
+        """Construct + fully reset the batched env state (jitted once)."""
+        if not hasattr(self, "_initial_state_jit"):
+            self._initial_state_jit = jax.jit(self._initial_state_impl)
+        return self._initial_state_jit(rng)
+
+    def _initial_state_impl(self, rng: jnp.ndarray) -> EnvState:
         B = self.num_envs
         phys = self.default_phys_state(B)
         state = EnvState(

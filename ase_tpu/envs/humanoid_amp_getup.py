@@ -62,7 +62,7 @@ class HumanoidAMPGetup(HumanoidAMP):
     def initial_state(self, rng: jnp.ndarray) -> EnvState:
         k1, k2 = jax.random.split(rng)
         if self._fall_states is None:
-            self.generate_fall_states(k1)
+            self.generate_fall_states(k1)  # must run before the jit trace
         return super().initial_state(k2)
 
     # -- resets (reference humanoid_amp_getup.py:78-116) ----------------------

@@ -42,7 +42,9 @@ class AMPAgent(CommonAgent):
         self._amp_replay_keep_prob = float(config["amp_replay_keep_prob"])
 
         self.amp_obs_dim = env.amp_obs_size()
-        assert self._amp_minibatch_size <= int(config["minibatch_size"])
+        if self._amp_minibatch_size > int(config["minibatch_size"]):
+            # small-scale debug runs: shrink the AMP minibatch with the PPO one
+            self._amp_minibatch_size = int(config["minibatch_size"])
 
         super().__init__(env, cfg_train, output_dir)
         self._build_rand_action_probs()

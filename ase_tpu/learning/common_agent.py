@@ -103,7 +103,14 @@ class CommonAgent:
         raise NotImplementedError
 
     def _init_extra(self, rng) -> Dict[str, Any]:
-        return {}
+        B = self.num_actors
+        return {
+            "cur_rewards": jnp.zeros(B),
+            "cur_lengths": jnp.zeros(B),
+            "game_reward_sum": jnp.zeros(()),
+            "game_length_sum": jnp.zeros(()),
+            "game_count": jnp.zeros(()),
+        }
 
     def _actor_sigma(self, params, obs_n, extra):
         """(mu, sigma) for the normalized obs batch."""
@@ -219,6 +226,17 @@ class CommonAgent:
             )
             dones = env_state.reset_buf.astype(jnp.float32)
             terminated = env_state.terminate_buf.astype(jnp.float32)
+
+            # episode meters (reference game_rewards/game_lengths trackers)
+            extra = dict(ts.extra)
+            cur_r = extra["cur_rewards"] + rewards
+            cur_l = extra["cur_lengths"] + 1.0
+            extra["game_reward_sum"] = extra["game_reward_sum"] + jnp.sum(dones * cur_r)
+            extra["game_length_sum"] = extra["game_length_sum"] + jnp.sum(dones * cur_l)
+            extra["game_count"] = extra["game_count"] + jnp.sum(dones)
+            extra["cur_rewards"] = cur_r * (1.0 - dones)
+            extra["cur_lengths"] = cur_l * (1.0 - dones)
+            ts = ts.replace(extra=extra)
 
             next_obs_n = (
                 ts.obs_rms.normalize(env_state.obs)
@@ -427,7 +445,10 @@ class CommonAgent:
         ts, metrics = jax.lax.scan(mini_epoch, ts, None, length=self.mini_epochs)
         metrics = jax.tree_util.tree_map(jnp.mean, metrics)
         metrics["reward_mean"] = jnp.mean(batch["rewards"])
-        metrics["ep_len_mean"] = jnp.mean(env_state.progress.astype(jnp.float32))
+        n_games = jnp.maximum(ts.extra["game_count"], 1.0)
+        metrics["game_reward_mean"] = ts.extra["game_reward_sum"] / n_games
+        metrics["game_length_mean"] = ts.extra["game_length_sum"] / n_games
+        metrics["games_played"] = ts.extra["game_count"]
         ts = ts.replace(
             epoch=ts.epoch + 1, frame=ts.frame + self.batch_size
         )
@@ -461,9 +482,20 @@ class CommonAgent:
         os.makedirs(self.output_dir, exist_ok=True)
         name = self.config.get("name", "Humanoid")
         start = time.time()
+        # jax.profiler trace hook (SURVEY §5.1): ASE_TPU_PROFILE=<epoch> traces
+        # that epoch into <output>/profile for the TensorBoard trace viewer.
+        profile_epoch = int(os.environ.get("ASE_TPU_PROFILE", "-1"))
         for epoch in range(max_epochs):
             t0 = time.time()
+            if epoch == profile_epoch:
+                jax.profiler.start_trace(os.path.join(self.output_dir, "profile"))
             ts, env_state, metrics = self.train_epoch(ts, env_state)
+            if epoch == profile_epoch:
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
+                    metrics,
+                )
+                jax.profiler.stop_trace()
             metrics = jax.device_get(metrics)
             dt_wall = time.time() - t0
             fps = self.batch_size / dt_wall

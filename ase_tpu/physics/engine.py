@@ -137,9 +137,9 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
     else:
         W = W_art
 
-    u_new, lam, body_forces = jax.vmap(
-        lambda c, Jv, Wv, uf: solver.solve(model, c, Jv, Wv, uf, h, cfg.solver)
-    )(contacts, J, W, u_free)
+    u_new, lam, body_forces = solver.solve_batched(
+        model, contacts, J, W, u_free, h, cfg.solver
+    )
 
     # clamp angular velocities (asset option max_angular_velocity)
     def clamp_w(w):

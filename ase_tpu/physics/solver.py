@@ -29,7 +29,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ase_tpu.ops import linalg3
+from ase_tpu.ops import linalg3, pallas_solver
 from ase_tpu.ops import spatial as sp
 from ase_tpu.physics import model as M
 from ase_tpu.physics.collision import Contacts
@@ -199,3 +199,87 @@ def solve(
     )
 
     return u_new, lam, body_forces
+
+
+def solve_batched(
+    model: M.Model,
+    contacts: Contacts,      # batched (B, K, ...)
+    J: jnp.ndarray,          # (B, K, 3, nv)
+    W: jnp.ndarray,          # (B, nv, 3K)
+    u_free: jnp.ndarray,     # (B, nv)
+    dt: float,
+    cfg: SolverConfig,
+):
+    """Batched contact solve; Jacobi iterations run in a fused Pallas kernel
+    on TPU (ops/pallas_solver.py). Returns (u_new, lam (B,K,3), body_forces)."""
+    B, K = contacts.depth.shape
+    nv = J.shape[-1]
+
+    active = (contacts.depth > 0.0).astype(jnp.float32)
+    mu = contacts.friction * active
+
+    Jf = J.reshape(B, K * 3, nv)
+    A = _einsum("bim,bmj->bij", Jf, W)
+    A = A + cfg.regularization * jnp.eye(K * 3)[None]
+
+    v_bias = jnp.minimum(
+        cfg.baumgarte / dt * jnp.maximum(contacts.depth - cfg.slop, 0.0),
+        cfg.max_depenetration_velocity,
+    )
+    target = jnp.concatenate([v_bias[..., None], jnp.zeros((B, K, 2))], axis=-1)
+    v0 = _einsum("bkiv,bv->bki", J, u_free)
+
+    A4 = A.reshape(B, K, 3, K, 3)
+    ar = jnp.arange(K)
+    diag = jnp.transpose(A4[:, ar, :, ar, :], (1, 0, 2, 3))  # (B, K, 3, 3)
+    diag = diag + 1e-5 * jnp.eye(3)[None, None]
+    diag_inv = linalg3.inv3(diag)
+
+    if cfg.scheme == "jacobi":
+        lam = pallas_solver.solve_jacobi(
+            A, v0, target, diag_inv, mu, active, cfg.iterations, cfg.relaxation
+        )
+    else:
+        lam = jax.vmap(
+            lambda Ab, v0b, tb, db, mb, ab: _pgs_iterate(
+                Ab, v0b, tb, db, mb, ab, cfg.iterations
+            )
+        )(A, v0, target, diag_inv, mu, active)
+
+    impulse = _einsum("bvj,bj->bv", W, lam.reshape(B, -1))
+    u_new = u_free + impulse
+
+    t1, t2 = _tangent_basis(contacts.normal)
+    f_world = (
+        lam[..., 0:1] * contacts.normal + lam[..., 1:2] * t1 + lam[..., 2:3] * t2
+    ) / dt
+    nbp = model.nb + model.num_props
+    ba = jnp.clip(contacts.body_a, 0, nbp - 1)
+    bb = jnp.clip(contacts.body_b, 0, nbp - 1)
+    has_b = (contacts.body_b >= 0).astype(jnp.float32)
+
+    def scatter(fw, ia, ib, act, hb):
+        bf = jnp.zeros((nbp, 3))
+        bf = bf.at[ia].add(fw * act[:, None])
+        return bf.at[ib].add(-fw * (act * hb)[:, None])
+
+    body_forces = jax.vmap(scatter)(f_world, ba, bb, active, has_b)
+    return u_new, lam, body_forces
+
+
+def _pgs_iterate(A, v0, target, diag_inv, mu, active, iterations):
+    """Sequential projected Gauss-Seidel (single env; validation path)."""
+    K = mu.shape[0]
+    Ablk = A.reshape(K, 3, K, 3)
+
+    def sweep(_, lam):
+        def body(lam, k):
+            vk = v0[k] + _einsum("ijl,jl->i", Ablk[k], lam)
+            dlam = _einsum("ij,j->i", diag_inv[k], target[k] - vk)
+            new = _project((lam[k] + dlam)[None], mu[k][None], active[k][None])[0]
+            return lam.at[k].set(new), None
+
+        lam, _ = jax.lax.scan(body, lam, jnp.arange(K))
+        return lam
+
+    return jax.lax.fori_loop(0, iterations, sweep, jnp.zeros((K, 3)))
