@@ -71,6 +71,8 @@ class CommonAgent:
         self.normalize_value = bool(config.get("normalize_value", True))
         self.normalize_advantage = bool(config.get("normalize_advantage", True))
         self.learning_rate = float(config["learning_rate"])
+        self.lr_schedule = str(config.get("lr_schedule", "constant"))
+        self.kl_threshold = float(config.get("kl_threshold", 0.008))
         self.max_epochs = int(config.get("max_epochs", 10000))
         self.save_frequency = int(config.get("save_frequency", 50))
 
@@ -84,7 +86,13 @@ class CommonAgent:
         self.action_dim = self._actions_num()
         self.network = self._build_network()
 
-        tx = optax.adam(self.learning_rate, eps=1e-8)
+        if self.lr_schedule == "adaptive":
+            # rl_games AdaptiveScheduler semantics: KL-tracked LR inside jit
+            tx = optax.inject_hyperparams(optax.adam)(
+                learning_rate=self.learning_rate, eps=1e-8
+            )
+        else:
+            tx = optax.adam(self.learning_rate, eps=1e-8)
         if self.truncate_grads:
             tx = optax.chain(optax.clip_by_global_norm(self.grad_norm), tx)
         self.optimizer = tx
@@ -403,9 +411,11 @@ class CommonAgent:
         var = jnp.sum(mask * jnp.square(advantages - mean)) / msum
         return (advantages - mean) / (jnp.sqrt(var) + 1e-8)
 
-    # -- the jitted epoch -------------------------------------------------------
+    # -- the jitted epoch (two phases: rollout/play and update, which keeps
+    # the compiled modules tractable and restores the reference's
+    # play_time/update_time split) ---------------------------------------------
 
-    def _train_epoch_impl(self, ts: TrainState, env_state):
+    def _rollout_phase_impl(self, ts: TrainState, env_state):
         ts, env_state, roll, batch = self._rollout(ts, env_state)
 
         ts, batch = self._process_rewards(ts, batch)
@@ -417,6 +427,12 @@ class CommonAgent:
 
         ts, dataset = self._prepare_dataset(ts, batch)
 
+        roll_metrics = {"reward_mean": jnp.mean(batch["rewards"])}
+        ts = ts.replace(epoch=ts.epoch + 1, frame=ts.frame + self.batch_size)
+        ts = self._post_epoch(ts, batch)
+        return ts, env_state, dataset, roll_metrics
+
+    def _update_phase_impl(self, ts: TrainState, dataset):
         def minibatch_update(carry, idx):
             ts = carry
             mb = jax.tree_util.tree_map(lambda x: x[idx], dataset)
@@ -427,6 +443,8 @@ class CommonAgent:
             updates, opt_state = self.optimizer.update(grads, ts.opt_state, ts.params)
             params = optax.apply_updates(ts.params, updates)
             kl = self._policy_kl(info["mu"], info["sigma"], mb["mu"], mb["sigma"])
+            if self.lr_schedule == "adaptive":
+                opt_state = self._adapt_lr(opt_state, kl)
             ts = ts.replace(params=params, opt_state=opt_state)
             metrics = {k: v for k, v in info.items() if jnp.ndim(v) == 0}
             metrics["kl"] = kl
@@ -444,16 +462,31 @@ class CommonAgent:
 
         ts, metrics = jax.lax.scan(mini_epoch, ts, None, length=self.mini_epochs)
         metrics = jax.tree_util.tree_map(jnp.mean, metrics)
-        metrics["reward_mean"] = jnp.mean(batch["rewards"])
         n_games = jnp.maximum(ts.extra["game_count"], 1.0)
         metrics["game_reward_mean"] = ts.extra["game_reward_sum"] / n_games
         metrics["game_length_mean"] = ts.extra["game_length_sum"] / n_games
         metrics["games_played"] = ts.extra["game_count"]
-        ts = ts.replace(
-            epoch=ts.epoch + 1, frame=ts.frame + self.batch_size
-        )
-        ts = self._post_epoch(ts, batch)
+        return ts, metrics
+
+    def _train_epoch_impl(self, ts: TrainState, env_state):
+        """Single-module epoch (used by the multichip dryrun)."""
+        ts, env_state, dataset, rmetrics = self._rollout_phase_impl(ts, env_state)
+        ts, metrics = self._update_phase_impl(ts, dataset)
+        metrics.update(rmetrics)
         return ts, env_state, metrics
+
+    def _adapt_lr(self, opt_state, kl):
+        """KL-threshold LR adaptation (rl_games AdaptiveScheduler: /1.5 when
+        KL > 2·threshold, ×1.5 when KL < threshold/2, clamped to [1e-6, 1e-2])."""
+        is_chained = not hasattr(opt_state, "hyperparams")
+        inner = opt_state[-1] if is_chained else opt_state
+        lr = inner.hyperparams["learning_rate"]
+        lr = jnp.where(kl > 2.0 * self.kl_threshold, jnp.maximum(lr / 1.5, 1e-6), lr)
+        lr = jnp.where(kl < 0.5 * self.kl_threshold, jnp.minimum(lr * 1.5, 1e-2), lr)
+        inner = inner._replace(hyperparams={**inner.hyperparams, "learning_rate": lr})
+        if is_chained:
+            return opt_state[:-1] + (inner,)
+        return inner
 
     def _preproc_minibatch(self, ts, mb):
         """Hook: update RMS stats from minibatch inputs (AMP obs etc.)."""
@@ -464,8 +497,19 @@ class CommonAgent:
 
     @property
     def train_epoch(self):
+        """Two-phase epoch: jitted rollout then jitted update (host sync in
+        between is one scalar fetch; all tensors stay on device)."""
         if self._train_epoch_jit is None:
-            self._train_epoch_jit = jax.jit(self._train_epoch_impl, donate_argnums=(0, 1))
+            roll_jit = jax.jit(self._rollout_phase_impl, donate_argnums=(0, 1))
+            upd_jit = jax.jit(self._update_phase_impl, donate_argnums=(0, 1))
+
+            def epoch(ts, env_state):
+                ts, env_state, dataset, rmetrics = roll_jit(ts, env_state)
+                ts, metrics = upd_jit(ts, dataset)
+                metrics.update(rmetrics)
+                return ts, env_state, metrics
+
+            self._train_epoch_jit = epoch
         return self._train_epoch_jit
 
     # -- outer loop (host side: logging, checkpoints) ---------------------------

@@ -261,8 +261,11 @@ def _try_native_cache(path: str):
         return None
     out = {}
     for (name, dtype, shape, view) in entries:
-        out[name] = np.frombuffer(view, dtype=np.dtype(dtype)).reshape(shape)
-    out["__capsule__"] = capsule  # keep the mapping alive
+        # copy out of the mapping: jax's CPU backend zero-copy aliases numpy
+        # buffers, which would dangle once the mmap capsule is collected
+        arr = np.frombuffer(view, dtype=np.dtype(dtype)).reshape(shape)
+        out[name] = np.array(arr, copy=True)
+    del capsule  # release the mapping
     return out
 
 
