@@ -40,6 +40,7 @@ class HumanoidPerturb(HumanoidAMP):
         # cumulative launch times (reference _calc_perturb_times)
         times = np.cumsum([gap for _, gap in PERTURB_OBJS])
         self._perturb_timesteps = jnp.asarray(times, dtype=jnp.int32)
+        self._perturb_period = int(times[-1]) + 1
 
     def _build_model(self, asset_path: str):
         model = mjcf.load_mjcf(asset_path)
@@ -72,8 +73,7 @@ class HumanoidPerturb(HumanoidAMP):
         """Launch the scheduled projectile (if any) at the torso."""
         B = self.num_envs
         state, keys = self.split_rng(state, 4)
-        period = int(self._perturb_timesteps[-1]) + 1
-        curr = jnp.remainder(state.progress, period)  # (B,) per-env schedule
+        curr = jnp.remainder(state.progress, self._perturb_period)  # (B,) schedule
         # which projectile (if any) launches this step, per env
         launch_matrix = curr[:, None] == self._perturb_timesteps[None, :]  # (B, P)
 

@@ -11,6 +11,7 @@ mixture with the exponential env-index profile (424-435).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, Tuple
 
 import jax
@@ -105,23 +106,27 @@ class AMPAgent(CommonAgent):
         return self._init_amp_demo_buf(ts)
 
     def _init_amp_demo_buf(self, ts: TrainState) -> TrainState:
-        """Pre-fill the demo buffer (reference amp_agent.py:520-528)."""
+        """Pre-fill the demo buffer (reference amp_agent.py:520-528).
+
+        One small jitted fetch+store step, invoked repeatedly with buffer
+        donation — keeps the compiled module tiny and the 1GB buffer updated
+        in place."""
         chunk = min(self._amp_obs_demo_buffer_size, 16384)
         n_chunks = int(np.ceil(self._amp_obs_demo_buffer_size / chunk))
 
-        @jax.jit
-        def fill(ts):
-            buf = ts.extra["demo_buffer"]
-            rng = ts.rng
-            for _ in range(n_chunks):
-                rng, k = jax.random.split(rng)
-                demo = self.env.fetch_amp_obs_demo(k, chunk)
-                buf = buf.store(demo)
-            extra = dict(ts.extra)
-            extra["demo_buffer"] = buf
-            return ts.replace(rng=rng, extra=extra)
+        @partial(jax.jit, donate_argnums=(0,))
+        def fill_step(buf, rng):
+            rng, k = jax.random.split(rng)
+            demo = self.env.fetch_amp_obs_demo(k, chunk)
+            return buf.store(demo), rng
 
-        return fill(ts)
+        buf = ts.extra["demo_buffer"]
+        rng = ts.rng
+        for _ in range(n_chunks):
+            buf, rng = fill_step(buf, rng)
+        extra = dict(ts.extra)
+        extra["demo_buffer"] = buf
+        return ts.replace(rng=rng, extra=extra)
 
     # -- amp preprocessing -------------------------------------------------------
 

@@ -121,11 +121,12 @@ class ASEAgent(AMPAgent):
         rec["ase_latents"] = roll["ase_latents"]
         return rec
 
-    def _post_epoch(self, ts, batch):
-        ts = super()._post_epoch(ts, batch)
-        # persist final latent state across epochs
+    def _post_rollout(self, ts, roll):
+        ts = super()._post_rollout(ts, roll)
+        # persist latent state + schedules across epochs
         extra = dict(ts.extra)
-        extra["ase_latents"] = batch["ase_latents"][-1]
+        extra["ase_latents"] = roll["ase_latents"]
+        extra["latent_reset_steps"] = roll["latent_reset_steps"]
         return ts.replace(extra=extra)
 
     # -- rewards ----------------------------------------------------------------

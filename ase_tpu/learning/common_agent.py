@@ -75,6 +75,8 @@ class CommonAgent:
         self.kl_threshold = float(config.get("kl_threshold", 0.008))
         self.max_epochs = int(config.get("max_epochs", 10000))
         self.save_frequency = int(config.get("save_frequency", 50))
+        self.save_best_after = int(config.get("save_best_after", 50))
+        self._save_intermediate = bool(config.get("save_intermediate", False))
 
         self.batch_size = self.horizon_length * self.num_actors
         assert self.batch_size % self.minibatch_size == 0, (
@@ -417,6 +419,7 @@ class CommonAgent:
 
     def _rollout_phase_impl(self, ts: TrainState, env_state):
         ts, env_state, roll, batch = self._rollout(ts, env_state)
+        ts = self._post_rollout(ts, roll)
 
         ts, batch = self._process_rewards(ts, batch)
 
@@ -488,6 +491,10 @@ class CommonAgent:
             return opt_state[:-1] + (inner,)
         return inner
 
+    def _post_rollout(self, ts: TrainState, roll) -> TrainState:
+        """Hook: persist rollout-carry state across epochs (ASE latents)."""
+        return ts
+
     def _preproc_minibatch(self, ts, mb):
         """Hook: update RMS stats from minibatch inputs (AMP obs etc.)."""
         return ts, mb
@@ -557,6 +564,19 @@ class CommonAgent:
                 writer.add_scalar("performance/total_fps", fps, frame)
             if self.save_frequency > 0 and (epoch + 1) % self.save_frequency == 0:
                 ckpt.save(os.path.join(self.output_dir, f"{name}.ckpt"), ts)
+                if self._save_intermediate:
+                    ckpt.save(
+                        os.path.join(self.output_dir, f"{name}_{epoch + 1:08d}.ckpt"), ts
+                    )
+            # best-by-mean-reward checkpoint (reference save_best_after)
+            mean_rew = float(np.asarray(metrics.get("game_reward_mean", 0.0)))
+            if (
+                epoch >= self.save_best_after
+                and float(np.asarray(metrics.get("games_played", 0.0))) > 0
+                and mean_rew > getattr(self, "_best_mean_rewards", -1e9)
+            ):
+                self._best_mean_rewards = mean_rew
+                ckpt.save(os.path.join(self.output_dir, f"{name}_best.ckpt"), ts)
         ckpt.save(os.path.join(self.output_dir, f"{name}.ckpt"), ts)
         print(f"training done in {time.time()-start:.1f}s")
         return ts, env_state

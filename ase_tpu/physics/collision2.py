@@ -90,7 +90,7 @@ class PairTables(NamedTuple):
     sc: np.ndarray
     sc_flip: np.ndarray  # 1 if sphere is geom j (normal must flip)
     ss: np.ndarray      # (n, 2)
-    box_other: List[Tuple[int, int, bool]]   # (box_geom, other_geom, box_is_i)
+    box_other: np.ndarray   # (n, 3) = (box_geom, other_geom, box_is_i)
     box_box: List[Tuple[int, int]]
 
 
@@ -114,9 +114,9 @@ def build_pair_tables(model: M.Model, enable_self: bool) -> PairTables:
         elif ti == M.GEOM_BOX and tj == M.GEOM_BOX:
             box_box.append((i, j))
         elif ti == M.GEOM_BOX:
-            box_other.append((i, j, True))
+            box_other.append((i, j, 1))
         elif tj == M.GEOM_BOX:
-            box_other.append((j, i, False))
+            box_other.append((j, i, 0))
         else:
             raise ValueError(f"unhandled pair {ti},{tj}")
     return PairTables(
@@ -124,7 +124,7 @@ def build_pair_tables(model: M.Model, enable_self: bool) -> PairTables:
         sc=np.asarray(sc, np.int32).reshape(-1, 2),
         sc_flip=np.asarray(sc_flip, np.float32),
         ss=np.asarray(ss, np.int32).reshape(-1, 2),
-        box_other=box_other,
+        box_other=np.asarray(box_other, np.int32).reshape(-1, 3),
         box_box=box_box,
     )
 
@@ -247,33 +247,42 @@ def detect(
         pos = pb + n * (model.geom_size[j, 0] - 0.5 * depth)[:, None]
         add_group(pos, n, depth, i, j)
 
-    # ---- box vs sphere/capsule samples ----
-    for (bi, oi, box_is_i) in P.box_other:
-        half = model.geom_size[bi]
+    # ---- box vs sphere/capsule (vectorized: 3 sample spheres per pair) ----
+    if P.box_other.shape[0]:
+        bi = jnp.asarray(P.box_other[:, 0])
+        oi = jnp.asarray(P.box_other[:, 1])
+        box_is_i = jnp.asarray(P.box_other[:, 2]).astype(jnp.float32)
+        n_pairs = P.box_other.shape[0]
+        half = model.geom_size[bi]                         # (n, 3)
         Rb, pb = g_rot[bi], g_pos[bi]
-        if model.geom_types[oi] == M.GEOM_SPHERE:
-            samples = [(g_pos[oi], model.geom_size[oi][0])]
-        else:
-            axis = g_rot[oi][:, 2] * model.geom_size[oi][1]
-            r = model.geom_size[oi][0]
-            samples = [
-                (g_pos[oi] - axis, r), (g_pos[oi], r), (g_pos[oi] + axis, r)
-            ]
-        for (c, r) in samples:
-            c_local = Rb.T @ (c - pb)
-            dpt, n_l, surf_l = _point_box_depth(c_local, half)
-            n_w = Rb @ n_l
-            depth = dpt + r
-            pos = pb + Rb @ surf_l
-            sign = -1.0 if box_is_i else 1.0
-            gi_idx = bi if box_is_i else oi
-            gj_idx = oi if box_is_i else bi
-            pts.append(pos[None])
-            depths.append(depth[None])
-            normals.append((sign * n_w)[None])
-            bas.append(gb[jnp.asarray([gi_idx])])
-            bbs.append(gb[jnp.asarray([gj_idx])])
-            mus.append(jnp.sqrt(jnp.maximum(mu_g[gi_idx] * mu_g[gj_idx], 0.0))[None])
+        # capsule half-length is 0 for spheres, so samples coincide there
+        is_caplike = jnp.asarray(
+            np.asarray(
+                [model.geom_types[int(o)] != M.GEOM_SPHERE for o in P.box_other[:, 1]],
+                np.float32,
+            )
+        )
+        axis = g_rot[oi][:, :, 2] * (model.geom_size[oi, 1] * is_caplike)[:, None]
+        r = model.geom_size[oi, 0]                         # (n,)
+        samples = jnp.stack(
+            [g_pos[oi] - axis, g_pos[oi], g_pos[oi] + axis], axis=1
+        )                                                  # (n, 3, 3)
+        c_local = _einsum("nji,nsj->nsi", Rb, samples - pb[:, None, :])
+        dpt, n_l, surf_l = jax.vmap(jax.vmap(lambda cl, h: _point_box_depth(cl, h),
+                                             in_axes=(0, None)))(c_local, half)
+        n_w = _einsum("nij,nsj->nsi", Rb, n_l)
+        depth = dpt + r[:, None]                           # (n, 3)
+        pos = pb[:, None, :] + _einsum("nij,nsj->nsi", Rb, surf_l)
+        sign = (1.0 - 2.0 * box_is_i)[:, None, None]       # -1 when box is body_a
+        gi_idx = jnp.where(box_is_i > 0, bi, oi)
+        gj_idx = jnp.where(box_is_i > 0, oi, bi)
+        mu_pair = jnp.sqrt(jnp.maximum(mu_g[bi] * mu_g[oi], 0.0))
+        pts.append(pos.reshape(-1, 3))
+        depths.append(depth.reshape(-1))
+        normals.append((sign * n_w).reshape(-1, 3))
+        bas.append(jnp.repeat(gb[gi_idx], 3))
+        bbs.append(jnp.repeat(gb[gj_idx], 3))
+        mus.append(jnp.repeat(mu_pair, 3))
 
     # ---- box vs box (vertex-in-box, both directions, 4 deepest each) ----
     for (i, j) in P.box_box:
