@@ -34,8 +34,10 @@ class HumanoidViewMotion(HumanoidAMP):
     def _initial_aux(self, B: int) -> Dict[str, Any]:
         aux = super()._initial_aux(B)
         num_motions = self._motion_lib.num_motions
+        # offset by -B: the construction-time full reset advances ids by B,
+        # landing the first playback on clips [0..B) (reference behavior)
         aux["motion_ids"] = jnp.remainder(
-            jnp.arange(B, dtype=jnp.int32), num_motions
+            jnp.arange(B, dtype=jnp.int32) - B, num_motions
         )
         return aux
 

@@ -1,0 +1,79 @@
+"""Every shipped config parses and builds its env with the right sizes."""
+
+import glob
+import os
+
+import pytest
+import yaml
+
+from ase_tpu.envs import parse_task
+
+MOTION = (
+    "/root/reference/ase/data/motions/reallusion_sword_shield/"
+    "RL_Avatar_Idle_Ready_Motion.npy"
+)
+
+CFG_TASKS = {
+    "humanoid.yaml": "HumanoidAMP",
+    "humanoid_sword_shield.yaml": "HumanoidAMP",
+    "humanoid_ase.yaml": "HumanoidAMP",
+    "humanoid_ase_sword_shield.yaml": "HumanoidAMP",
+    "humanoid_ase_getup.yaml": "HumanoidAMPGetup",
+    "humanoid_ase_sword_shield_getup.yaml": "HumanoidAMPGetup",
+    "humanoid_ase_sword_shield_getup_test.yaml": "HumanoidAMPGetup",
+    "humanoid_ase_sword_shield_test.yaml": "HumanoidAMP",
+    "humanoid_sword_shield_heading.yaml": "HumanoidHeading",
+    "humanoid_sword_shield_location.yaml": "HumanoidLocation",
+    "humanoid_sword_shield_reach.yaml": "HumanoidReach",
+    "humanoid_sword_shield_strike.yaml": "HumanoidStrike",
+}
+
+TASK_OBS = {"HumanoidHeading": 5, "HumanoidLocation": 2, "HumanoidReach": 3,
+            "HumanoidStrike": 15}
+
+
+@pytest.mark.parametrize("cfg_name", sorted(CFG_TASKS))
+def test_config_builds(cfg_name):
+    path = os.path.join("data/cfg", cfg_name)
+    cfg = yaml.safe_load(open(path))
+    cfg["env"]["numEnvs"] = 2
+    cfg["env"]["motion_file"] = MOTION
+    task = CFG_TASKS[cfg_name]
+    # the shipped motion clip is sword_shield; skip building the plain
+    # humanoid asset against it (different skeleton)
+    if "sword_shield" not in cfg["env"]["asset"]["assetFileName"]:
+        cfg["env"]["asset"]["assetFileName"] = "mjcf/amp_humanoid_sword_shield.xml"
+        cfg["env"]["keyBodies"] = ["right_hand", "left_hand", "right_foot",
+                                    "left_foot", "sword", "shield"]
+    env = parse_task(task, cfg)
+    base = 1 + env.model.nb * 15 - 3
+    expected = base + TASK_OBS.get(task, 0)
+    assert env.get_obs_size() == expected
+    assert env.get_action_size() == env.model.nd
+    if hasattr(env, "get_num_amp_obs"):
+        per_step = 13 + 6 * (len(env.model.dof_offsets) - 1) + env.model.nd \
+            + 3 * len(cfg["env"]["keyBodies"])
+        assert env.get_num_amp_obs() == 10 * per_step
+
+
+def test_train_configs_parse():
+    for path in glob.glob("data/cfg/train/rlg/*.yaml"):
+        cfg = yaml.safe_load(open(path))
+        params = cfg["params"]
+        assert params["algo"]["name"] in ("amp", "ase", "hrl")
+        assert "config" in params and "network" in params
+
+
+def test_plain_humanoid_asset_builds():
+    """The 28-dof amp_humanoid asset loads with the right dof tables."""
+    from ase_tpu.physics import mjcf
+
+    m = mjcf.load_mjcf(mjcf.find_asset("ase/data/assets", "mjcf/amp_humanoid.xml"))
+    # reference humanoid.py:183-188
+    assert m.dof_body_ids == (1, 2, 3, 4, 6, 7, 9, 10, 11, 12, 13, 14)
+    assert m.dof_offsets == (0, 3, 6, 9, 10, 13, 14, 17, 18, 21, 24, 25, 28)
+    assert m.nd == 28 and m.nb == 15
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])
