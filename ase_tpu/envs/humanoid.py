@@ -110,6 +110,11 @@ class Humanoid:
         self._build_pd_action_offset_scale()
         self._build_termination_heights()
 
+        # chunked partial resets: per rollout step only `resetChunk` envs are
+        # reset (gather -> reset -> scatter); bursts larger than the chunk
+        # spill to the next step. 0 = full-batch masked resets.
+        self.reset_chunk = int(env_cfg.get("resetChunk", 0))
+
         # domain randomization (reference base_task.py:204-398; --randomize)
         self._randomize = bool(cfg.get("task", {}).get("randomize", False))
         self._dr = DomainRandomizer(
@@ -237,9 +242,46 @@ class Humanoid:
     # -- resets ---------------------------------------------------------------
 
     def reset_done(self, state: EnvState) -> EnvState:
-        """Partial reset of all envs whose reset_buf is set (masked merge)."""
+        """Partial reset of all envs whose reset_buf is set (masked merge).
+
+        With `resetChunk` set, reset work (motion-library gathers, candidate
+        state construction, AMP history init) runs on a fixed-size gathered
+        sub-batch instead of all envs — a large rollout speedup since only a
+        handful of envs reset on a typical step."""
+        chunk = self.reset_chunk
+        if chunk and chunk < self.num_envs:
+            _, idx = jax.lax.top_k(state.reset_buf, chunk)
+            sub = self._gather_env_state(state, idx)
+            sub = self._reset_envs(sub, sub.reset_buf > 0)
+            return self._scatter_env_state(state, sub, idx)
         mask = state.reset_buf > 0
         return self._reset_envs(state, mask)
+
+    def _gather_env_state(self, state: EnvState, idx: jnp.ndarray) -> EnvState:
+        rng = state.rng
+        B = self.num_envs
+
+        def g(x):
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == B:
+                return x[idx]
+            return x
+
+        sub = jax.tree_util.tree_map(g, state.replace(rng=jnp.zeros(())))
+        return sub.replace(rng=rng)
+
+    def _scatter_env_state(self, state: EnvState, sub: EnvState, idx: jnp.ndarray) -> EnvState:
+        rng = sub.rng
+        B = self.num_envs
+
+        def s(x, y):
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == B:
+                return x.at[idx].set(y)
+            return x
+
+        out = jax.tree_util.tree_map(
+            s, state.replace(rng=jnp.zeros(())), sub.replace(rng=jnp.zeros(()))
+        )
+        return out.replace(rng=rng)
 
     def _reset_envs(self, state: EnvState, mask: jnp.ndarray) -> EnvState:
         if self._dr.enabled:
@@ -262,7 +304,7 @@ class Humanoid:
 
     def _reset_actors(self, state: EnvState, mask) -> Tuple[EnvState, jnp.ndarray]:
         """Produce candidate reset states for every env (selected by mask)."""
-        B = self.num_envs
+        B = mask.shape[0]
         phys = self.default_phys_state(B)
         return state.replace(phys=phys), mask
 

@@ -94,7 +94,7 @@ class HumanoidAMP(Humanoid):
     def _compute_amp_observations(self, state: EnvState) -> jnp.ndarray:
         key_body_pos = state.body_pos[:, self._key_body_ids, :]
         dof_pos = jax.vmap(lambda s: dynamics.dof_pos(self.model, s))(state.phys)
-        dof_vel = state.phys.u[:, 6 : self.model.nu]
+        dof_vel = state.phys.u[:, self.model.root_dofs : self.model.nu]
         return obs_kernels.build_amp_observations(
             state.body_pos[:, 0, :], state.body_quat[:, 0, :],
             state.body_vel[:, 0, :], state.body_ang_vel[:, 0, :],
@@ -104,7 +104,7 @@ class HumanoidAMP(Humanoid):
         )
 
     def amp_obs_flat(self, state: EnvState) -> jnp.ndarray:
-        return state.aux["amp_obs"].reshape(self.num_envs, -1)
+        return state.aux["amp_obs"].reshape(state.aux["amp_obs"].shape[0], -1)
 
     # -- demo fetch (reference humanoid_amp.py:64-101) -------------------------
 
@@ -156,7 +156,7 @@ class HumanoidAMP(Humanoid):
         return self._ref_state_phys(ms), motion_ids, motion_times
 
     def _reset_actors(self, state: EnvState, mask) -> Tuple[EnvState, jnp.ndarray]:
-        B = self.num_envs
+        B = mask.shape[0]
         state, keys = self.split_rng(state, 2)
 
         if self._state_init == StateInit.Default:
@@ -204,7 +204,7 @@ class HumanoidAMP(Humanoid):
     def _init_amp_obs(self, state: EnvState, mask: jnp.ndarray) -> EnvState:
         """Fill the history window for freshly reset envs
         (reference humanoid_amp.py:203-236)."""
-        B = self.num_envs
+        B = mask.shape[0]
         curr = self._compute_amp_observations(state)
 
         ref_mask = state.aux["reset_ref_mask"]

@@ -73,7 +73,7 @@ class HumanoidAMPGetup(HumanoidAMP):
         return aux
 
     def _reset_actors(self, state: EnvState, mask) -> Tuple[EnvState, jnp.ndarray]:
-        B = self.num_envs
+        B = mask.shape[0]
         state, keys = self.split_rng(state, 3)
 
         recovery = (

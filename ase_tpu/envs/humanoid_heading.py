@@ -41,7 +41,7 @@ class HumanoidHeading(HumanoidAMPTask):
         return aux
 
     def _resample_goal(self, state: EnvState, mask: jnp.ndarray) -> EnvState:
-        B = self.num_envs
+        B = mask.shape[0]
         state, keys = self.split_rng(state, 3)
         if self._enable_rand_heading:
             theta = jax.random.uniform(keys[0], (B,), minval=-jnp.pi, maxval=jnp.pi)

@@ -37,7 +37,7 @@ class HumanoidLocation(HumanoidAMPTask):
         return aux
 
     def _resample_goal(self, state: EnvState, mask: jnp.ndarray) -> EnvState:
-        B = self.num_envs
+        B = mask.shape[0]
         state, keys = self.split_rng(state, 2)
         rand = self._tar_dist_max * (
             2.0 * jax.random.uniform(keys[0], (B, 2)) - 1.0

@@ -40,7 +40,7 @@ class HumanoidReach(HumanoidAMPTask):
         return aux
 
     def _resample_goal(self, state: EnvState, mask: jnp.ndarray) -> EnvState:
-        B = self.num_envs
+        B = mask.shape[0]
         state, keys = self.split_rng(state, 2)
         r = jax.random.uniform(keys[0], (B, 3))
         xy = self._tar_dist_max * (2.0 * r[:, 0:2] - 1.0)

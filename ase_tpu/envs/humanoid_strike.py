@@ -52,7 +52,7 @@ class HumanoidStrike(HumanoidAMPTask):
 
     def _reset_actors(self, state: EnvState, mask) -> Tuple[EnvState, jnp.ndarray]:
         new_state, mask = super()._reset_actors(state, mask)
-        B = self.num_envs
+        B = mask.shape[0]
         new_state, keys = self.split_rng(new_state, 3)
 
         near = jax.random.uniform(keys[0], (B,)) < self._near_prob

@@ -74,5 +74,5 @@ class HumanoidViewMotion(HumanoidAMP):
             jnp.remainder(aux["motion_ids"] + self.num_envs, num_motions),
             aux["motion_ids"],
         )
-        aux["reset_ref_mask"] = jnp.zeros(self.num_envs, bool)
+        aux["reset_ref_mask"] = jnp.zeros(mask.shape[0], bool)
         return state.replace(aux=aux), mask

@@ -42,6 +42,7 @@ def main():
     cfg["env"]["enableSelfCollision"] = (
         os.environ.get("BENCH_SELF_COLLISION", "1") == "1"
     )
+    cfg["env"]["resetChunk"] = int(os.environ.get("BENCH_RESET_CHUNK", 512))
 
     cfg_train = yaml.safe_load(open(os.path.join(root, "data/cfg/train/rlg/ase_humanoid.yaml")))
     c = cfg_train["params"]["config"]
