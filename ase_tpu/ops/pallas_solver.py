@@ -176,7 +176,10 @@ def solve_jacobi_xla(A, v0, target, diag_inv, mu, active, iterations, omega):
 
 def solve_jacobi(A, v0, target, diag_inv, mu, active, iterations, omega):
     """Dispatch to the Pallas kernel on TPU, jnp elsewhere."""
-    if _HAS_PALLAS and jax.default_backend() == "tpu":
+    import os
+
+    if (_HAS_PALLAS and jax.default_backend() == "tpu"
+            and os.environ.get("ASE_TPU_DISABLE_PALLAS", "0") != "1"):
         return solve_jacobi_pallas(
             A, v0, target, diag_inv, mu, active, iterations, omega
         )
