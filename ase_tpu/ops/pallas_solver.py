@@ -47,23 +47,29 @@ def _static_masks(K: int):
     n_sel[3 * block[np.arange(n)], np.arange(n)] = 1.0
     # b_sum[j, i] = 1 iff same block (for summing tangent magnitudes)
     b_sum = (block[:, None] == block[None, :]).astype(np.float32)
-    return mask_n, mask_t, n_sel, b_sum
+    # P_j[src, dst] = 1 iff src = 3*block(dst) + j  (lane shuffle matmuls for
+    # the 3x3 block apply without materializing a block-diagonal matrix)
+    perms = []
+    for j in range(3):
+        P = np.zeros((n, n), np.float32)
+        P[3 * block + j, np.arange(n)] = 1.0
+        perms.append(P)
+    return mask_n, mask_t, n_sel, b_sum, perms[0], perms[1], perms[2]
 
 
-def _kernel(A_ref, v0_ref, tgt_ref, dinv_ref, mu_ref, act_ref,
-            mask_n_ref, mask_t_ref, n_sel_ref, b_sum_ref, lam_ref,
-            iterations: int, omega: float):
+def _kernel(A_ref, v0_ref, tgt_ref, c0_ref, c1_ref, c2_ref, mu_ref, act_ref,
+            mask_n_ref, mask_t_ref, n_sel_ref, b_sum_ref, p0_ref, p1_ref,
+            p2_ref, lam_ref, iterations: int, omega: float):
     def dot(x, y):
         return jax.lax.dot_general(
             x, y, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
-    # A/dinv are per-env (T, n, n); expand the dot over the tile dim
     A = A_ref[:]
-    dinv = dinv_ref[:]
 
     def dot_b(x, M):
+        # per-env matvec: (T, n, n) @ (T, n)
         return jax.lax.dot_general(
             M, x[..., None],
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -74,6 +80,8 @@ def _kernel(A_ref, v0_ref, tgt_ref, dinv_ref, mu_ref, act_ref,
     mask_t = mask_t_ref[:]
     n_sel = n_sel_ref[:]
     b_sum = b_sum_ref[:]
+    P0, P1, P2 = p0_ref[:], p1_ref[:], p2_ref[:]
+    C0, C1, C2 = c0_ref[:], c1_ref[:], c2_ref[:]
     v0 = v0_ref[:]
     tgt = tgt_ref[:]
     mu_b = mu_ref[:]
@@ -81,7 +89,9 @@ def _kernel(A_ref, v0_ref, tgt_ref, dinv_ref, mu_ref, act_ref,
 
     def body(_, lam):
         r = v0 + dot_b(lam, A)
-        dlam = dot_b(tgt - r, dinv)
+        err = tgt - r
+        # 3x3 block preconditioner via lane shuffles (no block-diag matrix)
+        dlam = C0 * dot(err, P0) + C1 * dot(err, P1) + C2 * dot(err, P2)
         lam = lam + omega * dlam
         lam_n = jnp.maximum(lam, 0.0) * mask_n + lam * mask_t
         ln_b = dot(lam_n * mask_n, n_sel)
@@ -93,29 +103,22 @@ def _kernel(A_ref, v0_ref, tgt_ref, dinv_ref, mu_ref, act_ref,
     lam_ref[:] = jax.lax.fori_loop(0, iterations, body, jnp.zeros_like(v0))
 
 
-def _block_diag(dinv):
-    """(B, K, 3, 3) -> (B, 3K, 3K) block diagonal."""
-    B, K = dinv.shape[0], dinv.shape[1]
-    eye = jnp.eye(K)
-    # out[b, 3k+i, 3k+j] = dinv[b, k, i, j]
-    out = jnp.einsum("bkij,kl->bkilj", dinv, eye)  # (B, K, 3, K, 3)
-    return out.reshape(B, 3 * K, 3 * K)
-
-
 def _prep(v0, target, diag_inv, mu, active):
+    """Flatten to 2D and extract the block coefficients C_j[i]=dinv[b(i),i%3,j]."""
     B, K = mu.shape
     masks = _static_masks(K)
-    dinv_bd = _block_diag(diag_inv)
+    # (B,K,3,3) -> (B, 3K) per source column j
+    Cs = tuple(diag_inv[..., j].reshape(B, 3 * K) for j in range(3))
     mu_b = jnp.repeat(mu, 3, axis=-1)
     act_b = jnp.repeat(active, 3, axis=-1)
-    return masks, dinv_bd, v0.reshape(B, 3 * K), target.reshape(B, 3 * K), mu_b, act_b
+    return masks, Cs, v0.reshape(B, 3 * K), target.reshape(B, 3 * K), mu_b, act_b
 
 
 def solve_jacobi_pallas(A, v0, target, diag_inv, mu, active, iterations, omega):
     """Fused Jacobi solve. A (B,3K,3K), v0/target (B,K,3),
     diag_inv (B,K,3,3), mu/active (B,K). Returns λ (B,K,3)."""
     B, K = mu.shape
-    masks, dinv_bd, v0f, tgtf, mu_b, act_b = _prep(v0, target, diag_inv, mu, active)
+    masks, Cs, v0f, tgtf, mu_b, act_b = _prep(v0, target, diag_inv, mu, active)
 
     T = _ENV_TILE
     pad = (-B) % T
@@ -123,63 +126,67 @@ def solve_jacobi_pallas(A, v0, target, diag_inv, mu, active, iterations, omega):
     def padb(x):
         return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) if pad else x
 
-    A_, dinv_, v0_, tgt_, mu_, act_ = map(padb, (A, dinv_bd, v0f, tgtf, mu_b, act_b))
+    A_, v0_, tgt_, mu_, act_ = map(padb, (A, v0f, tgtf, mu_b, act_b))
+    C0, C1, C2 = map(padb, Cs)
     Bp = B + pad
     n = 3 * K
 
-    mask_n, mask_t, n_sel, b_sum = (jnp.asarray(m) for m in masks)
+    mask_n, mask_t, n_sel, b_sum, P0, P1, P2 = (jnp.asarray(m) for m in masks)
     kern = functools.partial(_kernel, iterations=iterations, omega=omega)
+    env_spec = pl.BlockSpec((T, n), lambda i: (i, 0))
+    const_vec = pl.BlockSpec((1, n), lambda i: (0, 0))
+    const_mat = pl.BlockSpec((n, n), lambda i: (0, 0))
     lam = pl.pallas_call(
         kern,
         grid=(Bp // T,),
         in_specs=[
             pl.BlockSpec((T, n, n), lambda i: (i, 0, 0)),
-            pl.BlockSpec((T, n), lambda i: (i, 0)),
-            pl.BlockSpec((T, n), lambda i: (i, 0)),
-            pl.BlockSpec((T, n, n), lambda i: (i, 0, 0)),
-            pl.BlockSpec((T, n), lambda i: (i, 0)),
-            pl.BlockSpec((T, n), lambda i: (i, 0)),
-            pl.BlockSpec((1, n), lambda i: (0, 0)),
-            pl.BlockSpec((1, n), lambda i: (0, 0)),
-            pl.BlockSpec((n, n), lambda i: (0, 0)),
-            pl.BlockSpec((n, n), lambda i: (0, 0)),
+            env_spec, env_spec, env_spec, env_spec, env_spec,
+            env_spec, env_spec,
+            const_vec, const_vec, const_mat, const_mat,
+            const_mat, const_mat, const_mat,
         ],
-        out_specs=pl.BlockSpec((T, n), lambda i: (i, 0)),
+        out_specs=env_spec,
         out_shape=jax.ShapeDtypeStruct((Bp, n), jnp.float32),
-    )(A_, v0_, tgt_, dinv_, mu_, act_,
-      mask_n[None], mask_t[None], n_sel, b_sum)
+    )(A_, v0_, tgt_, C0, C1, C2, mu_, act_,
+      mask_n[None], mask_t[None], n_sel, b_sum, P0, P1, P2)
     return lam[:B].reshape(B, K, 3)
 
 
 def solve_jacobi_xla(A, v0, target, diag_inv, mu, active, iterations, omega):
-    """jnp implementation of the same 2D formulation (CPU / fallback)."""
+    """jnp implementation (CPU / fallback): direct (B,K,3) block math."""
     B, K = mu.shape
-    masks, dinv_bd, v0f, tgtf, mu_b, act_b = _prep(v0, target, diag_inv, mu, active)
-    masks = tuple(jnp.asarray(m) for m in masks)
-    mask_n, mask_t, n_sel, b_sum = masks
     hp = jax.lax.Precision.HIGHEST
 
     def body(_, lam):
-        r = v0f + jnp.einsum("bij,bj->bi", A, lam, precision=hp)
-        dlam = jnp.einsum("bij,bj->bi", dinv_bd, tgtf - r, precision=hp)
-        lam = lam + omega * dlam
-        lam_n = jnp.maximum(lam, 0.0) * mask_n + lam * mask_t
-        ln_b = jnp.einsum("bj,ji->bi", lam_n * mask_n, n_sel, precision=hp)
-        ltsq = jnp.einsum("bj,ji->bi", jnp.square(lam_n) * mask_t, b_sum, precision=hp)
-        lt_norm = jnp.sqrt(ltsq) + 1e-9
-        scale = jnp.minimum(1.0, mu_b * ln_b / lt_norm)
-        return (lam_n * mask_n + lam_n * mask_t * scale) * act_b
+        r = v0 + jnp.einsum(
+            "bij,bj->bi", A, lam.reshape(B, -1), precision=hp
+        ).reshape(B, K, 3)
+        dlam = jnp.einsum("bkij,bkj->bki", diag_inv, target - r, precision=hp)
+        lam3 = lam + omega * dlam
+        ln = jnp.maximum(lam3[..., 0], 0.0)
+        lt = lam3[..., 1:3]
+        lt_norm = jnp.linalg.norm(lt, axis=-1) + 1e-9
+        scale = jnp.minimum(1.0, mu * ln / lt_norm)
+        lam3 = jnp.concatenate([ln[..., None], lt * scale[..., None]], axis=-1)
+        return lam3 * active[..., None]
 
-    lam = jax.lax.fori_loop(0, iterations, body, jnp.zeros_like(v0f))
-    return lam.reshape(B, K, 3)
+    return jax.lax.fori_loop(0, iterations, body, jnp.zeros((B, K, 3)))
 
 
 def solve_jacobi(A, v0, target, diag_inv, mu, active, iterations, omega):
-    """Dispatch to the Pallas kernel on TPU, jnp elsewhere."""
+    """Solver dispatch.
+
+    Default is the XLA formulation: after removing the block-diagonal
+    materialization it measures ~3ms vs the Pallas kernel's ~7ms at 4096 envs
+    (XLA fuses the elementwise pipeline around the matvec; the kernel pays
+    three extra permutation matmuls per iteration for Mosaic's 2D layout
+    rules). The kernel is kept behind ASE_TPU_USE_PALLAS=1 as the substrate
+    for a future fully-fused substep kernel."""
     import os
 
     if (_HAS_PALLAS and jax.default_backend() == "tpu"
-            and os.environ.get("ASE_TPU_DISABLE_PALLAS", "0") != "1"):
+            and os.environ.get("ASE_TPU_USE_PALLAS", "0") == "1"):
         return solve_jacobi_pallas(
             A, v0, target, diag_inv, mu, active, iterations, omega
         )
