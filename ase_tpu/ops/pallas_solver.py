@@ -153,7 +153,8 @@ def solve_jacobi_pallas(A, v0, target, diag_inv, mu, active, iterations, omega):
     return lam[:B].reshape(B, K, 3)
 
 
-def solve_jacobi_xla(A, v0, target, diag_inv, mu, active, iterations, omega):
+def solve_jacobi_xla(A, v0, target, diag_inv, mu, active, iterations, omega,
+                     lam_cap=None):
     """jnp implementation (CPU / fallback): direct (B,K,3) block math."""
     B, K = mu.shape
     hp = jax.lax.Precision.HIGHEST
@@ -165,6 +166,8 @@ def solve_jacobi_xla(A, v0, target, diag_inv, mu, active, iterations, omega):
         dlam = jnp.einsum("bkij,bkj->bki", diag_inv, target - r, precision=hp)
         lam3 = lam + omega * dlam
         ln = jnp.maximum(lam3[..., 0], 0.0)
+        if lam_cap is not None:
+            ln = jnp.minimum(ln, lam_cap)
         lt = lam3[..., 1:3]
         lt_norm = jnp.linalg.norm(lt, axis=-1) + 1e-9
         scale = jnp.minimum(1.0, mu * ln / lt_norm)
@@ -174,7 +177,8 @@ def solve_jacobi_xla(A, v0, target, diag_inv, mu, active, iterations, omega):
     return jax.lax.fori_loop(0, iterations, body, jnp.zeros((B, K, 3)))
 
 
-def solve_jacobi(A, v0, target, diag_inv, mu, active, iterations, omega):
+def solve_jacobi(A, v0, target, diag_inv, mu, active, iterations, omega,
+                 lam_cap=None):
     """Solver dispatch.
 
     Default is the XLA formulation: after removing the block-diagonal
@@ -190,4 +194,6 @@ def solve_jacobi(A, v0, target, diag_inv, mu, active, iterations, omega):
         return solve_jacobi_pallas(
             A, v0, target, diag_inv, mu, active, iterations, omega
         )
-    return solve_jacobi_xla(A, v0, target, diag_inv, mu, active, iterations, omega)
+    return solve_jacobi_xla(
+        A, v0, target, diag_inv, mu, active, iterations, omega, lam_cap
+    )

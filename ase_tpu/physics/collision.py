@@ -179,8 +179,10 @@ def _segment_segment(a0, a1, b0, b1):
 
 def _sphere_sphere(p1, r1, p2, r2):
     d = p1 - p2
-    dist = jnp.linalg.norm(d) + 1e-9
-    n = d / dist
+    dist = jnp.linalg.norm(d)
+    # degenerate coincident centers: fall back to +z so the normal stays unit
+    safe = dist > 1e-6
+    n = jnp.where(safe, d / jnp.where(safe, dist, 1.0), jnp.array([0.0, 0.0, 1.0]))
     depth = r1 + r2 - dist
     pos = p2 + n * (r2 - 0.5 * depth)
     return pos, n, depth

@@ -202,12 +202,20 @@ def detect(
         bbs.append(gb[gj_idx])
         mus.append(jnp.sqrt(jnp.maximum(mu_g[gi_idx] * mu_g[gj_idx], 0.0)))
 
+    def _safe_dir(d):
+        dist = jnp.linalg.norm(d, axis=-1)
+        safe = dist > 1e-6
+        n = jnp.where(
+            safe[:, None], d / jnp.where(safe, dist, 1.0)[:, None],
+            jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), d.shape),
+        )
+        return n, dist + 1e-9
+
     # ---- sphere-sphere ----
     if P.ss.shape[0]:
         i, j = jnp.asarray(P.ss[:, 0]), jnp.asarray(P.ss[:, 1])
         d = g_pos[i] - g_pos[j]
-        dist = jnp.linalg.norm(d, axis=-1) + 1e-9
-        n = d / dist[:, None]
+        n, dist = _safe_dir(d)
         depth = model.geom_size[i, 0] + model.geom_size[j, 0] - dist
         pos = g_pos[j] + n * (model.geom_size[j, 0] - 0.5 * depth)[:, None]
         add_group(pos, n, depth, i, j)
@@ -222,8 +230,7 @@ def detect(
         t = jnp.sum((g_pos[si] - a0) * seg, -1) / jnp.maximum(jnp.sum(seg * seg, -1), 1e-9)
         q = a0 + jnp.clip(t, 0.0, 1.0)[:, None] * seg
         d = g_pos[si] - q
-        dist = jnp.linalg.norm(d, axis=-1) + 1e-9
-        n = d / dist[:, None]
+        n, dist = _safe_dir(d)
         depth = model.geom_size[si, 0] + model.geom_size[ci, 0] - dist
         pos = q + n * (model.geom_size[ci, 0] - 0.5 * depth)[:, None]
         flip = jnp.asarray(P.sc_flip)[:, None]
@@ -241,8 +248,7 @@ def detect(
             g_pos[i] - ai, g_pos[i] + ai, g_pos[j] - aj, g_pos[j] + aj
         )
         d = pa - pb
-        dist = jnp.linalg.norm(d, axis=-1) + 1e-9
-        n = d / dist[:, None]
+        n, dist = _safe_dir(d)
         depth = model.geom_size[i, 0] + model.geom_size[j, 0] - dist
         pos = pb + n * (model.geom_size[j, 0] - 0.5 * depth)[:, None]
         add_group(pos, n, depth, i, j)

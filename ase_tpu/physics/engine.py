@@ -42,6 +42,9 @@ class SimConfig(NamedTuple):
     torque_control: bool = False       # False = PD position drives
     power_scale: float = 1.0
     limit_stiffness: float = 200.0
+    max_dof_vel: float = 64.0          # PhysX maxJointVelocity default; also
+                                       # keeps explicit Coriolis terms stable
+                                       # (dt*w must stay << 1)
 
 
 class StepOut(NamedTuple):
@@ -145,6 +148,11 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
     def clamp_w(w):
         n = jnp.linalg.norm(w, axis=-1, keepdims=True) + 1e-9
         return w * jnp.minimum(1.0, model.max_ang_vel / n)
+
+    # clamp joint dof rates (PhysX maxJointVelocity parity + integrator safety)
+    u_new = u_new.at[:, model.root_dofs : nu].set(
+        jnp.clip(u_new[:, model.root_dofs : nu], -cfg.max_dof_vel, cfg.max_dof_vel)
+    )
 
     if model.root_dofs == 6:
         u_new = u_new.at[:, 3:6].set(clamp_w(u_new[:, 3:6]))

@@ -38,12 +38,15 @@ _einsum = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 
 class SolverConfig(NamedTuple):
-    iterations: int = 16
-    relaxation: float = 0.55           # Jacobi under-relaxation
+    iterations: int = 24
+    relaxation: float = 0.35           # Jacobi under-relaxation (must stay
+                                       # below ~1/coupling for foot-corner
+                                       # clusters or the iteration diverges)
     scheme: str = "jacobi"             # "jacobi" | "pgs"
     baumgarte: float = 0.2
     slop: float = 0.002
     max_depenetration_velocity: float = 10.0  # PhysX param parity
+    impulse_cap_velocity: float = 25.0 # max normal Δv one contact may inject
     regularization: float = 1e-6
 
 
@@ -215,7 +218,11 @@ def solve_batched(
     B, K = contacts.depth.shape
     nv = J.shape[-1]
 
-    active = (contacts.depth > 0.0).astype(jnp.float32)
+    # reject degenerate contacts: non-unit normals (coincident geoms) and
+    # rows with near-zero effective inverse mass, which would turn the
+    # Baumgarte bias into an unbounded impulse
+    n_ok = jnp.abs(jnp.sum(jnp.square(contacts.normal), axis=-1) - 1.0) < 0.1
+    active = ((contacts.depth > 0.0) & n_ok).astype(jnp.float32)
     mu = contacts.friction * active
 
     Jf = J.reshape(B, K * 3, nv)
@@ -235,9 +242,17 @@ def solve_batched(
     diag = diag + 1e-5 * jnp.eye(3)[None, None]
     diag_inv = linalg3.inv3(diag)
 
+    # rows whose own diagonal is tiny are uncontrollable — deactivate
+    active = active * (diag[..., 0, 0] > 1e-4).astype(jnp.float32)
+    mu = mu * active
+
     if cfg.scheme == "jacobi":
+        # divergence guard: cap each contact's normal impulse by the impulse
+        # that would inject impulse_cap_velocity through its own diagonal
+        lam_cap = cfg.impulse_cap_velocity / jnp.maximum(diag[..., 0, 0], 1e-3)
         lam = pallas_solver.solve_jacobi(
-            A, v0, target, diag_inv, mu, active, cfg.iterations, cfg.relaxation
+            A, v0, target, diag_inv, mu, active, cfg.iterations, cfg.relaxation,
+            lam_cap,
         )
     else:
         lam = jax.vmap(

@@ -180,3 +180,28 @@ def test_pendulum_energy():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_random_action_stress_self_collision(humanoid):
+    """Regression: self-collision used to pump joint velocities past the
+    explicit-integrator stability limit (~2/h rad/s) and NaN out; the
+    per-substep joint dof rate clamp (SimConfig.max_dof_vel, PhysX
+    maxJointVelocity parity) bounds the gyroscopic bias terms."""
+    cfg = engine.SimConfig(enable_self_collision=True, max_contacts=24)
+    bstep = jax.jit(engine.make_batched_step(humanoid, cfg))
+    B = 4
+    st = engine.batch_default_state(humanoid, B)
+    st = st._replace(root_pos=st.root_pos.at[:, 2].set(0.89))
+    lo = jnp.asarray(humanoid.dof_limit_lo)
+    hi = jnp.asarray(humanoid.dof_limit_hi)
+    off, sc = (hi + lo) / 2, (hi - lo) / 2
+    k = jax.random.PRNGKey(7)
+    for _ in range(90):
+        k, kk = jax.random.split(k)
+        tgt = off[None] + sc[None] * jax.random.uniform(
+            kk, (B, humanoid.nd), minval=-1.0, maxval=1.0
+        )
+        st = bstep(st, tgt).state
+    assert bool(jnp.all(jnp.isfinite(st.u)))
+    joint_u = jnp.abs(st.u[:, 6:])
+    assert float(joint_u.max()) <= cfg.max_dof_vel + 1e-3
