@@ -183,9 +183,11 @@ class AMPAgent(CommonAgent):
         extra["demo_buffer"] = extra["demo_buffer"].store(demo_new)
 
         n = amp_obs.shape[0]
-        dataset["amp_obs_demo"] = extra["demo_buffer"].sample(k2, n)
-        replay = extra["replay_buffer"]
-        replay_sample = replay.sample(k3, n)
+        demo_buf, demo_sample = extra["demo_buffer"].sample_cursor(k2, n)
+        extra["demo_buffer"] = demo_buf
+        dataset["amp_obs_demo"] = demo_sample
+        replay, replay_sample = extra["replay_buffer"].sample_cursor(k3, n)
+        extra["replay_buffer"] = replay
         use_replay = replay.total_count > 0
         dataset["amp_obs_replay"] = jnp.where(use_replay, replay_sample, amp_obs)
         ts = ts.replace(extra=extra)

@@ -385,15 +385,12 @@ class CommonAgent:
             values = vrms.normalize(values, clip=jnp.inf)
             returns = vrms.normalize(returns, clip=jnp.inf)
 
-        obs = flat(batch["obs"])
-        if self.normalize_input:
-            ts = ts.replace(obs_rms=ts.obs_rms.update(obs))
-            obs_n = ts.obs_rms.normalize(obs)
-        else:
-            obs_n = obs
-
+        # obs stays raw here; _preproc_minibatch updates obs_rms with each
+        # minibatch and normalizes with the fresh stats, matching the
+        # reference's train-mode RunningMeanStd forwards (updates once per
+        # minibatch per mini-epoch, not once per batch).
         dataset = {
-            "obs_n": obs_n,
+            "obs_n": flat(batch["obs"]),
             "actions": flat(batch["actions"]),
             "neglogp": flat(batch["neglogp"]),
             "values": values,
@@ -496,7 +493,13 @@ class CommonAgent:
         return ts
 
     def _preproc_minibatch(self, ts, mb):
-        """Hook: update RMS stats from minibatch inputs (AMP obs etc.)."""
+        """Per-minibatch RMS updates (reference: RunningMeanStd in train mode
+        updates on every training forward — common_agent.py:353-435)."""
+        if self.normalize_input:
+            rms = ts.obs_rms.update(mb["obs_n"])
+            ts = ts.replace(obs_rms=rms)
+            mb = dict(mb)
+            mb["obs_n"] = rms.normalize(mb["obs_n"])
         return ts, mb
 
     def _post_epoch(self, ts: TrainState, batch) -> TrainState:

@@ -1,9 +1,11 @@
 """Fixed-size device-resident replay buffer (reference learning/replay_buffer.py).
 
 A flat ring buffer over a single feature tensor, stored on device and
-manipulated inside jit (masked dynamic writes, uniform sampling). The
-reference samples without replacement via a shuffled cursor; we use uniform
-random indices — statistically equivalent for buffers ≫ batch.
+manipulated inside jit (masked dynamic writes). Sampling follows the
+reference's shuffled-cursor scheme (replay_buffer.py:51-75): a persistent
+random permutation is consumed in order — no sample repeats until the whole
+buffer has been visited — and reshuffled on exhaustion. ``sample`` (uniform
+with replacement) remains for callers that don't thread buffer state.
 """
 
 from __future__ import annotations
@@ -18,6 +20,8 @@ class ReplayBuffer:
     data: jnp.ndarray        # (capacity, dim)
     head: jnp.ndarray        # scalar int32 — next write position
     total_count: jnp.ndarray # scalar int32 — total stored ever
+    perm: jnp.ndarray        # (capacity,) int32 — shuffled sampling order
+    cursor: jnp.ndarray      # scalar int32 — next position in perm
 
     @staticmethod
     def create(capacity: int, dim: int, dtype=jnp.float32) -> "ReplayBuffer":
@@ -25,6 +29,8 @@ class ReplayBuffer:
             data=jnp.zeros((capacity, dim), dtype),
             head=jnp.asarray(0, jnp.int32),
             total_count=jnp.asarray(0, jnp.int32),
+            perm=jnp.arange(capacity, dtype=jnp.int32),
+            cursor=jnp.asarray(0, jnp.int32),
         )
 
     @property
@@ -48,7 +54,7 @@ class ReplayBuffer:
         data = self.data.at[idx].set(
             jnp.where(write_mask[:, None], batch, self.data[idx])
         )
-        return ReplayBuffer(
+        return self.replace(
             data=data,
             head=(self.head + n_valid) % self.capacity,
             total_count=self.total_count + n_valid,
@@ -58,3 +64,21 @@ class ReplayBuffer:
         limit = jnp.clip(self.total_count, 1, self.capacity)
         idx = jax.random.randint(rng, (n,), 0, limit)
         return self.data[idx]
+
+    def sample_cursor(self, rng: jax.Array, n: int):
+        """No-replacement sampling via a persistent shuffled cursor
+        (reference replay_buffer.py:51-75). Returns (new_buffer, rows).
+        Draws walk the stored permutation; when a call would run past the
+        end, the permutation is reshuffled for subsequent calls (within a
+        single call larger than the buffer, wraps reuse the old order)."""
+        limit = jnp.clip(self.total_count, 1, self.capacity)
+        pos = (self.cursor + jnp.arange(n, dtype=jnp.int32)) % self.capacity
+        idx = self.perm[pos] % limit
+        exhausted = self.cursor + n >= self.capacity
+        new_perm = jnp.where(
+            exhausted,
+            jax.random.permutation(rng, self.capacity).astype(jnp.int32),
+            self.perm,
+        )
+        new_cursor = jnp.where(exhausted, 0, self.cursor + n).astype(jnp.int32)
+        return self.replace(perm=new_perm, cursor=new_cursor), self.data[idx]
