@@ -54,6 +54,10 @@ class Humanoid:
         self.num_envs = int(env_cfg["numEnvs"])
         self.max_episode_length = int(env_cfg["episodeLength"])
         self._pd_control = bool(env_cfg.get("pdControl", True))
+        # Isaac dof-force / force-sensor tensor parity: when enabled, each
+        # step publishes the applied dof torques in aux["dof_forces"]
+        # (reference humanoid.py enable_actor_dof_force_sensors path).
+        self._expose_dof_forces = bool(env_cfg.get("exposeDofForces", False))
         self.power_scale = float(env_cfg.get("powerScale", 1.0))
         self.control_freq_inv = int(env_cfg.get("controlFrequencyInv", 2))
         self._local_root_obs = bool(env_cfg["localRootObs"])
@@ -224,6 +228,8 @@ class Humanoid:
 
     def _initial_aux(self, B: int) -> Dict[str, Any]:
         aux: Dict[str, Any] = {}
+        if self._expose_dof_forces:
+            aux["dof_forces"] = jnp.zeros((B, self.model.nd))
         if self._dr.enabled:
             aux["dr"] = self._dr.init_scales(B)
         return aux
@@ -351,6 +357,10 @@ class Humanoid:
             body_ang_vel=out.body_ang_vel,
             contact_forces=out.contact_forces,
         )
+        if self._expose_dof_forces:
+            aux = dict(state.aux)
+            aux["dof_forces"] = out.dof_forces
+            state = state.replace(aux=aux)
         state = self.post_physics_step(state)
         return state
 

@@ -54,6 +54,9 @@ class StepOut(NamedTuple):
     body_vel: jnp.ndarray        # (B, nb, 3) linear, world
     body_ang_vel: jnp.ndarray    # (B, nb, 3) world
     contact_forces: jnp.ndarray  # (B, nb + np, 3)
+    dof_forces: jnp.ndarray      # (B, nd) applied actuation+limit torques
+                                 # (Isaac acquire_dof_force_tensor parity,
+                                 #  reference humanoid.py force-sensor setup)
 
 
 def _chol_batched(Mb: jnp.ndarray) -> jnp.ndarray:
@@ -194,7 +197,7 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
         root_pos=root_pos, root_quat=root_quat, joint_q=joint_q,
         hinge_q=hinge_q, u=u_new, prop_pos=prop_pos, prop_quat=prop_quat,
     )
-    return new_states, body_forces
+    return new_states, body_forces, tau
 
 
 def step_batched(model: M.Model, cfg: SimConfig, tables, states: State,
@@ -210,15 +213,16 @@ def step_batched(model: M.Model, cfg: SimConfig, tables, states: State,
         gain_scale = jnp.ones(B)
 
     def body(carry, _):
-        st, _ = carry
-        st, forces = _substep_batched(
+        st, _, _ = carry
+        st, forces, tau = _substep_batched(
             model, cfg, tables, st, actions, friction_scale, gain_scale
         )
-        return (st, forces), None
+        return (st, forces, tau), None
 
     init_forces = jnp.zeros((B, model.nb + model.num_props, 3))
-    (states, forces), _ = jax.lax.scan(
-        body, (states, init_forces), None, length=cfg.substeps
+    init_tau = jnp.zeros((B, model.nd))
+    (states, forces, dof_forces), _ = jax.lax.scan(
+        body, (states, init_forces, init_tau), None, length=cfg.substeps
     )
 
     kin = jax.vmap(lambda s: dynamics.fk(model, s))(states)
@@ -229,6 +233,7 @@ def step_batched(model: M.Model, cfg: SimConfig, tables, states: State,
         body_vel=kin.body_vel[..., 3:6],
         body_ang_vel=kin.body_vel[..., 0:3],
         contact_forces=forces,
+        dof_forces=dof_forces,
     )
 
 

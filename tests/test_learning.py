@@ -81,6 +81,23 @@ def test_replay_buffer_ring():
     assert s.shape == (16, 2)
 
 
+def test_replay_buffer_cursor_no_replacement():
+    cap = 16
+    buf = ReplayBuffer.create(cap, 1)
+    buf = buf.store(jnp.arange(cap, dtype=jnp.float32)[:, None])
+    # one full pass over the shuffled cursor must visit every row exactly once
+    buf2, a = buf.sample_cursor(jax.random.PRNGKey(0), 8)
+    buf3, b = buf2.sample_cursor(jax.random.PRNGKey(1), 8)
+    seen = np.sort(np.concatenate([np.asarray(a)[:, 0], np.asarray(b)[:, 0]]))
+    np.testing.assert_array_equal(seen, np.arange(cap, dtype=np.float32))
+    # exhaustion reshuffles: cursor reset, next pass is again a permutation
+    assert int(buf3.cursor) == 0
+    buf4, c = buf3.sample_cursor(jax.random.PRNGKey(2), cap)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(c)[:, 0]), np.arange(cap, dtype=np.float32)
+    )
+
+
 def test_amp_agent_trains():
     env = parse_task("HumanoidAMP", make_cfg())
     cfg = copy.deepcopy(TRAIN_CFG)
