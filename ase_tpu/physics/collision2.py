@@ -132,10 +132,16 @@ def build_pair_tables(model: M.Model, enable_self: bool) -> PairTables:
 class CollisionTables(NamedTuple):
     plane: PlaneTable
     pairs: PairTables
+    soa: object = None  # collision3.SoATables — the TPU-layout fast path
 
 
 def build_tables(model: M.Model, enable_self: bool) -> CollisionTables:
-    return CollisionTables(build_plane_table(model), build_pair_tables(model, enable_self))
+    from ase_tpu.physics import collision3
+    return CollisionTables(
+        build_plane_table(model),
+        build_pair_tables(model, enable_self),
+        collision3.build_soa_tables(model, enable_self),
+    )
 
 
 def geom_world_pose(model: M.Model, body_R, body_pos, prop_R, prop_pos):

@@ -1,0 +1,500 @@
+"""TPU-layout collision detection: structure-of-arrays over the env batch.
+
+``collision2.detect`` (vmapped per env) carries every vector as a trailing
+dim-3 array, and on TPU a ``(B, n, 3)`` f32 array tiles its last two dims to
+(8, 128) — i.e. the 3-wide lane dim pads to 128 and ~98% of the VPU is idle.
+This module computes the exact same candidate set with each vector split into
+per-component ``(B, n)`` arrays (B a multiple of 8, n in lanes), which tiles
+densely. Measured: 55.6 ms -> a few ms for the sword-shield humanoid at
+B=4096 with self-collision on.
+
+Replaces the narrow-phase the reference gets from PhysX inside
+``gym.simulate`` (reference ``ase/env/tasks/base_task.py:403-407``).
+Candidate enumeration (static tables, parent-child filtering) is shared with
+``collision2``; a parity test pins this implementation to it.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ase_tpu.ops import quat as rot
+from ase_tpu.physics import model as M
+from ase_tpu.physics.collision import Contacts, collision_pairs
+
+_BOX_CORNERS = np.array(
+    [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+    dtype=np.float32,
+)
+
+
+# --------------------------------------------------------------------------
+# component-tuple vector helpers: v = (x, y, z), each (B, n)
+# --------------------------------------------------------------------------
+
+def _dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _sub(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _add(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def _scale(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def _norm(a):
+    return jnp.sqrt(_dot(a, a))
+
+
+def _safe_unit(a):
+    """Unit vector with a +z fallback for degenerate (zero) directions."""
+    d = _norm(a)
+    safe = d > 1e-6
+    inv = jnp.where(safe, 1.0 / jnp.where(safe, d, 1.0), 0.0)
+    return (
+        (a[0] * inv, a[1] * inv, a[2] * inv + jnp.where(safe, 0.0, 1.0)),
+        d,
+    )
+
+
+def _mat_comps(Rm):
+    """(B, n, 3, 3) -> 9-tuple of (B, n) components, row-major."""
+    return tuple(Rm[..., i, j] for i in range(3) for j in range(3))
+
+
+def _mat_vec(Rc, v):
+    """R @ v with R as 9 components (row-major) and v a component tuple."""
+    return (
+        Rc[0] * v[0] + Rc[1] * v[1] + Rc[2] * v[2],
+        Rc[3] * v[0] + Rc[4] * v[1] + Rc[5] * v[2],
+        Rc[6] * v[0] + Rc[7] * v[1] + Rc[8] * v[2],
+    )
+
+
+def _mat_t_vec(Rc, v):
+    """R^T @ v."""
+    return (
+        Rc[0] * v[0] + Rc[3] * v[1] + Rc[6] * v[2],
+        Rc[1] * v[0] + Rc[4] * v[1] + Rc[7] * v[2],
+        Rc[2] * v[0] + Rc[5] * v[1] + Rc[8] * v[2],
+    )
+
+
+def _mat_mat(A, Bc):
+    """A @ B with both as 9-component tuples."""
+    out = []
+    for i in range(3):
+        for j in range(3):
+            out.append(
+                A[3 * i + 0] * Bc[0 + j] + A[3 * i + 1] * Bc[3 + j] + A[3 * i + 2] * Bc[6 + j]
+            )
+    return tuple(out)
+
+
+def _col(Rc, k):
+    """k-th column of R as a component tuple."""
+    return (Rc[k], Rc[3 + k], Rc[6 + k])
+
+
+def _gather(comps, idx):
+    """Gather candidate axis: tuple of (B, ng) -> tuple of (B, n)."""
+    return tuple(c[:, idx] for c in comps)
+
+
+# --------------------------------------------------------------------------
+# static tables
+# --------------------------------------------------------------------------
+
+class SoATables(NamedTuple):
+    # plane: candidate point per geom feature vs ground (z=0, normal +z)
+    pl_geom: np.ndarray      # (Cp,) geom index
+    pl_body: np.ndarray      # (Cp,)
+    pl_off: np.ndarray       # (Cp, 3) offset in geom frame
+    pl_radius: np.ndarray    # (Cp,)
+    pl_cyl: np.ndarray       # (Cp,) 1 for cylinder rim candidates
+    pl_mu: np.ndarray        # (Cp,)
+    # sphere-sphere
+    ss_i: np.ndarray
+    ss_j: np.ndarray
+    # sphere vs capsule-like (sphere index, capsule index, flip flag)
+    sc_s: np.ndarray
+    sc_c: np.ndarray
+    sc_flip: np.ndarray
+    # capsule-like vs capsule-like
+    cc_i: np.ndarray
+    cc_j: np.ndarray
+    # box vs sphere/capsule, expanded to 3 axial sample spheres per pair
+    bo_box: np.ndarray
+    bo_oth: np.ndarray
+    bo_t: np.ndarray         # (-1, 0, +1) sample position along the axis
+    bo_sign: np.ndarray      # +1 if box is body_b (normal stays), -1 if body_a
+    bo_a: np.ndarray         # body_a geom index (for bodies/friction)
+    bo_b: np.ndarray
+    # box-box, expanded to 8 corners x 2 directions per pair
+    bb_src: np.ndarray
+    bb_dst: np.ndarray
+    bb_corner: np.ndarray    # (Cbb, 3) corner in src box frame (unit cube)
+    bb_sign: np.ndarray
+    bb_i: np.ndarray         # geom i of the original pair (body_a)
+    bb_j: np.ndarray
+    g_rot_local: np.ndarray  # (ng, 3, 3) static geom-frame rotations
+
+
+def build_soa_tables(model: M.Model, enable_self: bool) -> SoATables:
+    gt = model.geom_types
+    size = np.asarray(model.geom_size)
+    fric = np.asarray(model.geom_friction)
+    plane_mu = float(np.asarray(model.plane_friction))
+
+    pl_geom, pl_body, pl_off, pl_radius, pl_cyl = [], [], [], [], []
+    for g in range(model.ng):
+        b = model.geom_body[g]
+
+        def add(off, r, is_cyl=0.0):
+            pl_geom.append(g)
+            pl_body.append(b)
+            pl_off.append(off)
+            pl_radius.append(r)
+            pl_cyl.append(is_cyl)
+
+        if gt[g] == M.GEOM_SPHERE:
+            add(np.zeros(3), size[g][0])
+        elif gt[g] == M.GEOM_CAPSULE:
+            add(np.array([0, 0, size[g][1]]), size[g][0])
+            add(np.array([0, 0, -size[g][1]]), size[g][0])
+        elif gt[g] == M.GEOM_BOX:
+            for c in _BOX_CORNERS:
+                add(c * size[g], 0.0)
+        elif gt[g] == M.GEOM_CYLINDER:
+            add(np.array([0, 0, size[g][1]]), size[g][0], 1.0)
+            add(np.array([0, 0, -size[g][1]]), size[g][0], 1.0)
+
+    pairs = collision_pairs(model, enable_self)
+    caplike = (M.GEOM_CAPSULE, M.GEOM_CYLINDER)
+    ss, sc, cc, bo, bb = [], [], [], [], []
+    for (i, j) in pairs:
+        ti, tj = gt[i], gt[j]
+        if ti == M.GEOM_SPHERE and tj == M.GEOM_SPHERE:
+            ss.append((i, j))
+        elif ti == M.GEOM_SPHERE and tj in caplike:
+            sc.append((i, j, 0.0))
+        elif tj == M.GEOM_SPHERE and ti in caplike:
+            sc.append((j, i, 1.0))
+        elif ti in caplike and tj in caplike:
+            cc.append((i, j))
+        elif ti == M.GEOM_BOX and tj == M.GEOM_BOX:
+            for (src, dst, src_is_i) in ((i, j, 1.0), (j, i, -1.0)):
+                for c in _BOX_CORNERS:
+                    bb.append((src, dst, c, src_is_i, i, j))
+        elif ti == M.GEOM_BOX:
+            for t in (-1.0, 0.0, 1.0):
+                bo.append((i, j, t, -1.0, i, j))
+        elif tj == M.GEOM_BOX:
+            for t in (-1.0, 0.0, 1.0):
+                bo.append((j, i, t, 1.0, i, j))
+        else:
+            raise ValueError(f"unhandled pair types {ti},{tj}")
+
+    def col(lst, k, dtype=np.int32):
+        return np.asarray([e[k] for e in lst], dtype)
+
+    return SoATables(
+        pl_geom=np.asarray(pl_geom, np.int32),
+        pl_body=np.asarray(pl_body, np.int32),
+        pl_off=np.asarray(pl_off, np.float32).reshape(-1, 3),
+        pl_radius=np.asarray(pl_radius, np.float32),
+        pl_cyl=np.asarray(pl_cyl, np.float32),
+        pl_mu=np.sqrt(np.maximum(fric[np.asarray(pl_geom, np.int32)] * plane_mu, 0.0)).astype(np.float32)
+        if pl_geom else np.zeros(0, np.float32),
+        ss_i=col(ss, 0) if ss else np.zeros(0, np.int32),
+        ss_j=col(ss, 1) if ss else np.zeros(0, np.int32),
+        sc_s=col(sc, 0) if sc else np.zeros(0, np.int32),
+        sc_c=col(sc, 1) if sc else np.zeros(0, np.int32),
+        sc_flip=col(sc, 2, np.float32) if sc else np.zeros(0, np.float32),
+        cc_i=col(cc, 0) if cc else np.zeros(0, np.int32),
+        cc_j=col(cc, 1) if cc else np.zeros(0, np.int32),
+        bo_box=col(bo, 0) if bo else np.zeros(0, np.int32),
+        bo_oth=col(bo, 1) if bo else np.zeros(0, np.int32),
+        bo_t=col(bo, 2, np.float32) if bo else np.zeros(0, np.float32),
+        bo_sign=col(bo, 3, np.float32) if bo else np.zeros(0, np.float32),
+        bo_a=col(bo, 4) if bo else np.zeros(0, np.int32),
+        bo_b=col(bo, 5) if bo else np.zeros(0, np.int32),
+        bb_src=col(bb, 0) if bb else np.zeros(0, np.int32),
+        bb_dst=col(bb, 1) if bb else np.zeros(0, np.int32),
+        bb_corner=np.asarray([e[2] for e in bb], np.float32).reshape(-1, 3),
+        bb_sign=col(bb, 3, np.float32) if bb else np.zeros(0, np.float32),
+        bb_i=col(bb, 4) if bb else np.zeros(0, np.int32),
+        bb_j=col(bb, 5) if bb else np.zeros(0, np.int32),
+        g_rot_local=np.asarray(
+            rot.quat_to_rotation_matrix(jnp.asarray(model.geom_quat)), np.float32
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# batched detection
+# --------------------------------------------------------------------------
+
+def _point_box(c, half):
+    """SoA point-in-box: c, half are component tuples of (B, n).
+
+    Returns (depth, n_local, surf_local): depth > 0 inside (to nearest face),
+    -dist outside; normal/surface in the box frame.
+    """
+    d0 = half[0] - jnp.abs(c[0])
+    d1 = half[1] - jnp.abs(c[1])
+    d2 = half[2] - jnp.abs(c[2])
+    inside = (d0 > 0) & (d1 > 0) & (d2 > 0)
+
+    cl = (
+        jnp.clip(c[0], -half[0], half[0]),
+        jnp.clip(c[1], -half[1], half[1]),
+        jnp.clip(c[2], -half[2], half[2]),
+    )
+    out = _sub(c, cl)
+    out_dist = _norm(out) + 1e-9
+    n_out = _scale(out, 1.0 / out_dist)
+
+    # inside: push out of the nearest face (argmin over the 3 face distances)
+    sgn = lambda x: jnp.where(x < 0, -1.0, 1.0)
+    use0 = (d0 <= d1) & (d0 <= d2)
+    use1 = (~use0) & (d1 <= d2)
+    use2 = ~(use0 | use1)
+    n_in = (
+        jnp.where(use0, sgn(c[0]), 0.0),
+        jnp.where(use1, sgn(c[1]), 0.0),
+        jnp.where(use2, sgn(c[2]), 0.0),
+    )
+    depth_in = jnp.where(use0, d0, jnp.where(use1, d1, d2))
+
+    depth = jnp.where(inside, depth_in, -out_dist)
+    n = tuple(jnp.where(inside, a, b) for a, b in zip(n_in, n_out))
+    surf = tuple(
+        jnp.where(inside, cc + nn * depth_in, cl_k)
+        for cc, nn, cl_k in zip(c, n_in, cl)
+    )
+    return depth, n, surf
+
+
+def _quat_mat_comps(q4):
+    """Rotation-matrix components from quat components (x, y, z, w)."""
+    x, y, z, w = q4
+    x2, y2, z2 = x + x, y + y, z + z
+    xx, yy, zz = x * x2, y * y2, z * z2
+    xy, xz, yz = x * y2, x * z2, y * z2
+    wx, wy, wz = w * x2, w * y2, w * z2
+    return (
+        1.0 - (yy + zz), xy - wz, xz + wy,
+        xy + wz, 1.0 - (xx + zz), yz - wx,
+        xz - wy, yz + wx, 1.0 - (xx + yy),
+    )
+
+
+def detect_batched(
+    model: M.Model,
+    tables: SoATables,
+    body_quat: jnp.ndarray,  # (B, nb, 4) xyzw
+    body_pos: jnp.ndarray,   # (B, nb, 3)
+    prop_quat: jnp.ndarray,  # (B, np, 4)
+    prop_pos: jnp.ndarray,   # (B, np, 3)
+    max_contacts: int,
+) -> Contacts:
+    T = tables
+    B = body_pos.shape[0]
+    gb = np.asarray(model.geom_body, np.int32)
+
+    if model.num_props > 0:
+        all_q = jnp.concatenate([body_quat, prop_quat], axis=1)
+        all_p = jnp.concatenate([body_pos, prop_pos], axis=1)
+    else:
+        all_q, all_p = body_quat, body_pos
+
+    # world poses of every geom, in component form: body rotations come from
+    # quat components directly (avoids gathering (B, ng, 3, 3) matrices)
+    qg = all_q[:, gb]                                   # (B, ng, 4)
+    Rb = _quat_mat_comps(tuple(qg[..., k] for k in range(4)))
+    pb = tuple(all_p[:, gb, k] for k in range(3))       # 3 x (B, ng)
+    gq = T.g_rot_local
+    gloc = tuple(jnp.asarray(gq[:, i, j])[None, :] for i in range(3) for j in range(3))
+    Rg = _mat_mat(Rb, gloc)                             # geom world rotation
+    goff = np.asarray(model.geom_pos)
+    gp = _add(pb, _mat_vec(Rb, tuple(jnp.asarray(goff[:, k])[None, :] for k in range(3))))
+
+    size = np.asarray(model.geom_size)
+    r_of = lambda idx: jnp.asarray(size[idx, 0])[None, :]
+    half_of = lambda idx: jnp.asarray(size[idx, 1])[None, :]
+    mu_g = np.asarray(model.geom_friction)
+    mu_of = lambda i, j: jnp.broadcast_to(
+        jnp.asarray(np.sqrt(np.maximum(mu_g[i] * mu_g[j], 0.0)))[None, :], (B, len(i))
+    )
+
+    depth_groups, nx_g, ny_g, nz_g, px_g, py_g, pz_g, mu_groups = (
+        [], [], [], [], [], [], [], []
+    )
+    ba_list, bb_list = [], []
+
+    def emit(depth, n, pos, mu, body_a, body_b):
+        depth_groups.append(depth)
+        nx_g.append(n[0]); ny_g.append(n[1]); nz_g.append(n[2])
+        px_g.append(pos[0]); py_g.append(pos[1]); pz_g.append(pos[2])
+        mu_groups.append(jnp.broadcast_to(mu, depth.shape))
+        ba_list.append(np.asarray(body_a, np.int32))
+        bb_list.append(np.asarray(body_b, np.int32))
+
+    # ---- geom vs ground plane ----
+    if T.pl_geom.size:
+        gi = T.pl_geom
+        Rc = _gather(Rg, gi)
+        base = _gather(gp, gi)
+        off = tuple(jnp.asarray(T.pl_off[:, k])[None, :] for k in range(3))
+        p = _add(base, _mat_vec(Rc, off))
+        # cylinder rim: step radially along the projected -z; else drop by r
+        axis = _col(Rc, 2)
+        tdir = (axis[0] * axis[2], axis[1] * axis[2], axis[2] * axis[2] - 1.0)
+        tn = jnp.maximum(_norm(tdir), 1e-6)
+        cyl = jnp.asarray(T.pl_cyl)[None, :]
+        rad = jnp.asarray(T.pl_radius)[None, :]
+        px = p[0] + cyl * tdir[0] / tn * rad
+        py = p[1] + cyl * tdir[1] / tn * rad
+        pz = p[2] + cyl * tdir[2] / tn * rad - (1.0 - cyl) * rad
+        zero = jnp.zeros_like(px)
+        emit(
+            -pz, (zero, zero, zero + 1.0), (px, py, pz),
+            jnp.asarray(T.pl_mu)[None, :], T.pl_body,
+            np.full(T.pl_body.shape, -1, np.int32),
+        )
+
+    # ---- sphere-sphere ----
+    if T.ss_i.size:
+        i, j = T.ss_i, T.ss_j
+        d = _sub(_gather(gp, i), _gather(gp, j))
+        n, dist = _safe_unit(d)
+        depth = r_of(i) + r_of(j) - dist
+        pos = _add(_gather(gp, j), _scale(n, r_of(j) - 0.5 * depth))
+        emit(depth, n, pos, mu_of(i, j), gb[i], gb[j])
+
+    # ---- sphere vs capsule-like ----
+    if T.sc_s.size:
+        s, c = T.sc_s, T.sc_c
+        Rc = _gather(Rg, c)
+        axis = _col(Rc, 2)
+        half = half_of(c)
+        cpos = _gather(gp, c)
+        spos = _gather(gp, s)
+        a0 = _sub(cpos, _scale(axis, half))
+        seg = _scale(axis, 2.0 * half)
+        t = _dot(_sub(spos, a0), seg) / jnp.maximum(_dot(seg, seg), 1e-9)
+        q = _add(a0, _scale(seg, jnp.clip(t, 0.0, 1.0)))
+        d = _sub(spos, q)
+        n, dist = _safe_unit(d)
+        depth = r_of(s) + r_of(c) - dist
+        pos = _add(q, _scale(n, r_of(c) - 0.5 * depth))
+        flip = jnp.asarray(T.sc_flip)[None, :]
+        n = _scale(n, 1.0 - 2.0 * flip)
+        body_a = np.where(T.sc_flip > 0, gb[c], gb[s])
+        body_b = np.where(T.sc_flip > 0, gb[s], gb[c])
+        emit(depth, n, pos, mu_of(s, c), body_a, body_b)
+
+    # ---- capsule-like vs capsule-like (clamped segment-segment) ----
+    if T.cc_i.size:
+        i, j = T.cc_i, T.cc_j
+        Ri, Rj = _gather(Rg, i), _gather(Rg, j)
+        ai = _scale(_col(Ri, 2), half_of(i))
+        aj = _scale(_col(Rj, 2), half_of(j))
+        pi, pj = _gather(gp, i), _gather(gp, j)
+        a0, d1 = _sub(pi, ai), _scale(ai, 2.0)
+        b0, d2 = _sub(pj, aj), _scale(aj, 2.0)
+        r = _sub(a0, b0)
+        a = _dot(d1, d1)
+        e = _dot(d2, d2)
+        f = _dot(d2, r)
+        cdot = _dot(d1, r)
+        b = _dot(d1, d2)
+        denom = a * e - b * b
+        ok = jnp.abs(denom) > 1e-9
+        s = jnp.where(ok, (b * f - cdot * e) / jnp.where(ok, denom, 1.0), 0.0)
+        s = jnp.clip(s, 0.0, 1.0)
+        t = (b * s + f) / jnp.maximum(e, 1e-9)
+        t_cl = jnp.clip(t, 0.0, 1.0)
+        s = jnp.where(
+            t != t_cl,
+            jnp.clip((b * t_cl - cdot) / jnp.maximum(a, 1e-9), 0.0, 1.0),
+            s,
+        )
+        pa = _add(a0, _scale(d1, s))
+        pb_ = _add(b0, _scale(d2, t_cl))
+        d = _sub(pa, pb_)
+        n, dist = _safe_unit(d)
+        depth = r_of(i) + r_of(j) - dist
+        pos = _add(pb_, _scale(n, r_of(j) - 0.5 * depth))
+        emit(depth, n, pos, mu_of(i, j), gb[i], gb[j])
+
+    # ---- box vs sphere/capsule: 3 axial sample spheres per pair ----
+    if T.bo_box.size:
+        bx, ot = T.bo_box, T.bo_oth
+        Rb_ = _gather(Rg, bx)
+        pbox = _gather(gp, bx)
+        half = tuple(jnp.asarray(size[bx, k])[None, :] for k in range(3))
+        is_cap = np.asarray(
+            [model.geom_types[int(o)] != M.GEOM_SPHERE for o in ot], np.float32
+        )
+        amp = jnp.asarray(size[ot, 1] * is_cap * T.bo_t)[None, :]
+        axis = _col(_gather(Rg, ot), 2)
+        sample = _add(_gather(gp, ot), _scale(axis, amp))
+        c_local = _mat_t_vec(Rb_, _sub(sample, pbox))
+        dpt, n_l, surf_l = _point_box(c_local, half)
+        n_w = _mat_vec(Rb_, n_l)
+        depth = dpt + r_of(ot)
+        pos = _add(pbox, _mat_vec(Rb_, surf_l))
+        sign = jnp.asarray(T.bo_sign)[None, :]
+        emit(depth, _scale(n_w, sign), pos, mu_of(T.bo_a, T.bo_b), gb[T.bo_a], gb[T.bo_b])
+
+    # ---- box-box: src corners vs dst box, both directions ----
+    if T.bb_src.size:
+        src, dst = T.bb_src, T.bb_dst
+        Rs, Rd = _gather(Rg, src), _gather(Rg, dst)
+        ps_, pd_ = _gather(gp, src), _gather(gp, dst)
+        corner = tuple(jnp.asarray(T.bb_corner[:, k] * size[src, k])[None, :] for k in range(3))
+        cw = _add(ps_, _mat_vec(Rs, corner))
+        c_local = _mat_t_vec(Rd, _sub(cw, pd_))
+        half = tuple(jnp.asarray(size[dst, k])[None, :] for k in range(3))
+        dpt, n_l, surf_l = _point_box(c_local, half)
+        n_w = _mat_vec(Rd, n_l)
+        pos = _add(pd_, _mat_vec(Rd, surf_l))
+        sign = jnp.asarray(T.bb_sign)[None, :]
+        emit(dpt, _scale(n_w, sign), pos, mu_of(T.bb_i, T.bb_j), gb[T.bb_i], gb[T.bb_j])
+
+    depth = jnp.concatenate(depth_groups, axis=1)       # (B, C)
+    nx = jnp.concatenate(nx_g, axis=1)
+    ny = jnp.concatenate(ny_g, axis=1)
+    nz = jnp.concatenate(nz_g, axis=1)
+    px = jnp.concatenate(px_g, axis=1)
+    py = jnp.concatenate(py_g, axis=1)
+    pz = jnp.concatenate(pz_g, axis=1)
+    mu = jnp.concatenate(mu_groups, axis=1)
+    ba = jnp.asarray(np.concatenate(ba_list))           # (C,)
+    bb_ = jnp.asarray(np.concatenate(bb_list))
+
+    k = min(max_contacts, depth.shape[1])
+    top_d, idx = jax.lax.top_k(depth, k)                # (B, K)
+    take = lambda arr: jnp.take_along_axis(arr, idx, axis=1)
+    pos = jnp.stack([take(px), take(py), take(pz)], axis=-1)
+    normal = jnp.stack([take(nx), take(ny), take(nz)], axis=-1)
+    return Contacts(
+        pos=pos,
+        normal=normal,
+        depth=top_d,
+        body_a=ba[idx],
+        body_b=bb_[idx],
+        friction=take(mu),
+    )

@@ -18,6 +18,7 @@ primitive, measured on TPU v5e).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -26,7 +27,7 @@ import jax.numpy as jnp
 
 from ase_tpu.ops import linalg3
 from ase_tpu.ops import quat as rot
-from ase_tpu.physics import collision2, dynamics, solver
+from ase_tpu.physics import collision2, collision3, dynamics, solver
 from ase_tpu.physics import model as M
 from ase_tpu.physics.dynamics import State
 
@@ -60,8 +61,25 @@ class StepOut(NamedTuple):
 
 
 def _chol_batched(Mb: jnp.ndarray) -> jnp.ndarray:
-    """Batched Cholesky via the native lax primitive (NOT under vmap)."""
-    return jax.lax.linalg.cholesky(Mb, symmetrize_input=False)
+    """Batched Cholesky of many small SPD matrices, batch-last layout.
+
+    ``lax.linalg.cholesky`` on (B, n, n) with n≈37 runs its blocked update
+    over tiles padded to (8, 128) in the *matrix* dims — ~18 ms at B=4096.
+    Unrolling the right-looking factorization over columns with the batch in
+    the lane dim touches only (n-k, B) panels per step: ~3.5 ms, max err 4e-7
+    (measured, TPU v5e). Falls back to lax for large n or tiny batches.
+    """
+    B, n = Mb.shape[0], Mb.shape[-1]
+    if n > 64 or B < 64 or os.environ.get("ASE_TPU_LAX_CHOL", "0") == "1":
+        return jax.lax.linalg.cholesky(Mb, symmetrize_input=False)
+    A = jnp.transpose(Mb, (1, 2, 0))                    # (n, n, B)
+    for k in range(n):
+        d = jnp.sqrt(A[k, k])
+        col = A[k + 1 :, k] / d
+        A = A.at[k, k].set(d)
+        A = A.at[k + 1 :, k].set(col)
+        A = A.at[k + 1 :, k + 1 :].add(-col[:, None, :] * col[None, :, :])
+    return jnp.tril(jnp.transpose(A, (2, 0, 1)))
 
 
 def _chol_solve_batched(L: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
@@ -116,12 +134,21 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
     else:
         u_free = u_art
 
-    # contacts (vmapped detection + jacobian; DR friction scaling per env)
-    contacts = jax.vmap(
-        lambda bR, bp, pR, pp: collision2.detect(
-            model, tables, bR, bp, pR, pp, cfg.max_contacts
+    # contacts: SoA batched narrow-phase (TPU lane-dense layout); the vmapped
+    # AoS path is kept behind ASE_TPU_COLLISION_AOS=1 for A/B validation
+    if getattr(tables, "soa", None) is not None and os.environ.get(
+        "ASE_TPU_COLLISION_AOS", "0"
+    ) != "1":
+        contacts = collision3.detect_batched(
+            model, tables.soa, kin.body_quat, kin.body_pos, states.prop_quat,
+            states.prop_pos, cfg.max_contacts,
         )
-    )(kin.body_R, kin.body_pos, prop_R, states.prop_pos)
+    else:
+        contacts = jax.vmap(
+            lambda bR, bp, pR, pp: collision2.detect(
+                model, tables, bR, bp, pR, pp, cfg.max_contacts
+            )
+        )(kin.body_R, kin.body_pos, prop_R, states.prop_pos)
     contacts = contacts._replace(friction=contacts.friction * friction_scale[:, None])
 
     J = jax.vmap(
