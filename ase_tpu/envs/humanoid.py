@@ -256,7 +256,8 @@ class Humanoid:
         handful of envs reset on a typical step."""
         chunk = self.reset_chunk
         if chunk and chunk < self.num_envs:
-            _, idx = jax.lax.top_k(state.reset_buf, chunk)
+            # argsort-based exact top-k (lax.top_k lowers much slower on TPU)
+            idx = jnp.argsort(-state.reset_buf)[:chunk]
             sub = self._gather_env_state(state, idx)
             sub = self._reset_envs(sub, sub.reset_buf > 0)
             return self._scatter_env_state(state, sub, idx)

@@ -155,14 +155,23 @@ def solve_jacobi_pallas(A, v0, target, diag_inv, mu, active, iterations, omega):
 
 def solve_jacobi_xla(A, v0, target, diag_inv, mu, active, iterations, omega,
                      lam_cap=None):
-    """jnp implementation (CPU / fallback): direct (B,K,3) block math."""
+    """jnp implementation (CPU / fallback): direct (B,K,3) block math.
+
+    If A arrives as bfloat16 the iteration matvec runs bf16 x bf16 -> f32
+    (halves the dominant HBM traffic: A is re-read every iteration); the
+    block preconditioner, projection, and accumulation stay f32."""
     B, K = mu.shape
     hp = jax.lax.Precision.HIGHEST
+    mv_kw = (
+        dict(preferred_element_type=jnp.float32)
+        if A.dtype == jnp.bfloat16
+        else dict(precision=hp)
+    )
 
     def body(_, lam):
         r = v0 + jnp.einsum(
-            "bij,bj->bi", A, lam.reshape(B, -1), precision=hp
-        ).reshape(B, K, 3)
+            "bij,bj->bi", A, lam.reshape(B, -1).astype(A.dtype), **mv_kw
+        ).astype(jnp.float32).reshape(B, K, 3)
         dlam = jnp.einsum("bkij,bkj->bki", diag_inv, target - r, precision=hp)
         lam3 = lam + omega * dlam
         ln = jnp.maximum(lam3[..., 0], 0.0)

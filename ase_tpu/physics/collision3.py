@@ -486,15 +486,33 @@ def detect_batched(
     bb_ = jnp.asarray(np.concatenate(bb_list))
 
     k = min(max_contacts, depth.shape[1])
-    top_d, idx = jax.lax.top_k(depth, k)                # (B, K)
-    take = lambda arr: jnp.take_along_axis(arr, idx, axis=1)
-    pos = jnp.stack([take(px), take(py), take(pz)], axis=-1)
-    normal = jnp.stack([take(nx), take(ny), take(nz)], axis=-1)
+    # exact top-k selection via argsort (lax.top_k lowers much slower here),
+    # then ONE fused gather: per-feature take_along_axis calls each cost
+    # ~2 ms at (4096, 367) on TPU, so all 10 features (pos, normal, depth,
+    # mu, bodies) are stacked into a single (B, C, 10) gather.
+    idx = jnp.argsort(-depth, axis=1)[:, :k]            # (B, K)
+    Bn, C = depth.shape
+    feats = jnp.stack(
+        [
+            depth, px, py, pz, nx, ny, nz, mu,
+            jnp.broadcast_to(ba.astype(jnp.float32)[None, :], (Bn, C)),
+            jnp.broadcast_to(bb_.astype(jnp.float32)[None, :], (Bn, C)),
+        ],
+        axis=1,
+    )                                                   # (B, 10, C): C in lanes
+    # one-hot matmul instead of take_along_axis: row-wise dynamic gathers are
+    # slow on TPU, a (K, C) x (C, F) contraction rides the MXU
+    # HIGHEST precision: each output has exactly one nonzero term, but the
+    # default bf16 MXU pass would round the gathered values themselves
+    onehot = (idx[:, :, None] == jnp.arange(C)[None, None, :]).astype(feats.dtype)
+    sel = jnp.einsum(
+        "bkc,bfc->bfk", onehot, feats, precision=jax.lax.Precision.HIGHEST
+    )                                                   # (B, 10, K)
     return Contacts(
-        pos=pos,
-        normal=normal,
-        depth=top_d,
-        body_a=ba[idx],
-        body_b=bb_[idx],
-        friction=take(mu),
+        pos=jnp.moveaxis(sel[:, 1:4, :], 1, 2),
+        normal=jnp.moveaxis(sel[:, 4:7, :], 1, 2),
+        depth=sel[:, 0, :],
+        body_a=jnp.round(sel[:, 8, :]).astype(jnp.int32),
+        body_b=jnp.round(sel[:, 9, :]).astype(jnp.int32),
+        friction=sel[:, 7, :],
     )

@@ -1,0 +1,294 @@
+"""Batch-last (SoA) dynamics assembly: the TPU-layout twin of
+``dynamics.compute_dynamics``.
+
+The vmapped assembly materializes (B, nb, 6, 6) / (B, nu, 6) tensors whose
+small trailing dims tile to (8, 128) on TPU — ~40x padded HBM traffic, which
+made dynamics the second-largest substep cost (8.6 ms at B=4096). Here every
+vector/matrix entry is its own ``(n, B)`` array (bodies/dofs in sublanes,
+envs in lanes), spatial inertias use their 10-parameter (m, h, I) form, and
+the mass matrix is produced directly in the (nu, nu, B) layout the batch-last
+Cholesky consumes. Semantics are pinned to ``dynamics.compute_dynamics`` by
+``tests/test_dynamics2.py``.
+
+Same physical model as the reference's PhysX articulations (reference
+``ase/env/tasks/base_task.py:403-407``): world-frame composite-rigid-body
+mass matrix, velocity-product bias forces, gravity, Stable-PD implicit
+damping on the diagonal.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ase_tpu.physics import dynamics
+from ase_tpu.physics import model as M
+
+import functools
+import jax
+
+# mask matmuls sum f32 values and must not round through bf16
+_mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+
+class _Static(NamedTuple):
+    db_dyn: np.ndarray     # (nu,) owning body for inertia/position gathers
+    db_rot: np.ndarray     # (nu,) rotation source; nb = identity (root dofs)
+    axloc: np.ndarray      # (nu, 3) local axis (spherical e_k / revolute axis
+                           #         / root-angular world e_k)
+    e_lin: np.ndarray      # (nu, 3) world axis for root linear dofs
+    is_ang: np.ndarray     # (nu, 1) angular-like dof (root ang/sph/rev)
+    is_joint: np.ndarray   # (nu, 1) articulation joint dof (not root)
+    Wm: np.ndarray         # (nu, nu) CRBA path mask
+    both: np.ndarray       # (nu, nu)
+    S: np.ndarray          # (nb, nb) ancestor-or-self subtree mask
+    A: np.ndarray          # (nb, nu) ancestor-dof mask
+    diag: np.ndarray       # (nu,) armature (+ root angular damping slot mask)
+    mass: np.ndarray       # (nb,)
+    msub: np.ndarray       # (nb,) subtree mass sums
+    inertia: np.ndarray    # (nb, 3, 3) local COM inertia
+    com: np.ndarray        # (nb, 3) local COM offset
+
+
+def _static(model: M.Model) -> _Static:
+    nb, nu = model.nb, model.nu
+    db = dynamics.dof_body(model)
+    A, Wm, both, S = dynamics._crba_masks(model)
+
+    db_rot = db.copy()
+    joint_axis_np = np.asarray(model.joint_axis)
+    axloc = np.zeros((nu, 3), np.float32)
+    e_lin = np.zeros((nu, 3), np.float32)
+    is_ang = np.zeros((nu, 1), np.float32)
+    is_joint = np.zeros((nu, 1), np.float32)
+    for b in range(nb):
+        jt = model.jtype[b]
+        off = model.dof_offset[b]
+        if jt == M.FREE:
+            for k in range(3):
+                e_lin[off + k, k] = 1.0                 # linear dofs
+                axloc[off + 3 + k, k] = 1.0             # angular dofs
+                is_ang[off + 3 + k] = 1.0
+                db_rot[off + k] = nb                    # identity rotation
+                db_rot[off + 3 + k] = nb
+        elif jt == M.SPHERICAL:
+            for k in range(3):
+                axloc[off + k, k] = 1.0
+                is_ang[off + k] = 1.0
+                is_joint[off + k] = 1.0
+        elif jt == M.REVOLUTE:
+            axloc[off] = joint_axis_np[b]
+            is_ang[off] = 1.0
+            is_joint[off] = 1.0
+
+    return _Static(
+        db_dyn=db, db_rot=db_rot, axloc=axloc, e_lin=e_lin,
+        is_ang=is_ang, is_joint=is_joint, Wm=Wm, both=both, S=S, A=A,
+        diag=np.zeros(nu, np.float32),
+        mass=np.asarray(model.mass, np.float32)[:nb],
+        msub=(S @ np.asarray(model.mass, np.float32)[:nb]),
+        inertia=np.asarray(model.inertia, np.float32)[:nb],
+        com=np.asarray(model.com, np.float32)[:nb],
+    )
+
+
+def _quat_R(q4):
+    """Rotation components (row-major 9-tuple) from quat comps (x,y,z,w)."""
+    x, y, z, w = q4
+    x2, y2, z2 = x + x, y + y, z + z
+    xx, yy, zz = x * x2, y * y2, z * z2
+    xy, xz, yz = x * y2, x * z2, y * z2
+    wx, wy, wz = w * x2, w * y2, w * z2
+    return (
+        1.0 - (yy + zz), xy - wz, xz + wy,
+        xy + wz, 1.0 - (xx + zz), yz - wx,
+        xz - wy, yz + wx, 1.0 - (xx + yy),
+    )
+
+
+def _cross(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _symprod_RIR(Rc, I):
+    """6 upper components of R I R^T with I a static (nb, 3, 3) symmetric
+    matrix (broadcast over lanes) and Rc a 9-tuple of (nb, B)."""
+    Ii = tuple(jnp.asarray(I[:, i, j])[:, None] for i in range(3) for j in range(3))
+    # T = R I  (9 comps)
+    T = []
+    for i in range(3):
+        for j in range(3):
+            T.append(
+                Rc[3 * i + 0] * Ii[0 + j] + Rc[3 * i + 1] * Ii[3 + j] + Rc[3 * i + 2] * Ii[6 + j]
+            )
+    # S = T R^T, symmetric: return (xx, xy, xz, yy, yz, zz)
+    def ent(i, j):
+        return T[3 * i + 0] * Rc[3 * j + 0] + T[3 * i + 1] * Rc[3 * j + 1] + T[3 * i + 2] * Rc[3 * j + 2]
+
+    return ent(0, 0), ent(0, 1), ent(0, 2), ent(1, 1), ent(1, 2), ent(2, 2)
+
+
+def _sym_mv(Ssym, v):
+    """Symmetric 3x3 (6 comps xx,xy,xz,yy,yz,zz) times vector comps."""
+    xx, xy, xz, yy, yz, zz = Ssym
+    return (
+        xx * v[0] + xy * v[1] + xz * v[2],
+        xy * v[0] + yy * v[1] + yz * v[2],
+        xz * v[0] + yz * v[1] + zz * v[2],
+    )
+
+
+def compute_dynamics_batch_last(model: M.Model, states, kin, dt: float):
+    """Batched dynamics assembly, batch-last layout.
+
+    Returns (M_bl (nu, nu, B), bias (B, nu), Phi (B, nu, 6)) matching
+    ``vmap(dynamics.compute_dynamics)`` up to layout.
+    """
+    st = _static(model)
+    nb, nu = model.nb, model.nu
+    B = states.root_pos.shape[0]
+
+    # --- kinematics components, (nb, B) ---
+    q = kin.body_quat                                  # (B, nb, 4)
+    Rc = _quat_R(tuple(q[..., k].T for k in range(4)))  # 9 x (nb, B)
+    p = tuple(kin.body_pos[..., k].T for k in range(3))
+    w = tuple(kin.body_vel[..., k].T for k in range(3))
+    vl = tuple(kin.body_vel[..., 3 + k].T for k in range(3))
+    cw = tuple(kin.com_world[..., k].T for k in range(3))
+    origin = tuple(states.root_pos[:, k][None, :] for k in range(3))  # (1, B)
+
+    # --- per-dof motion subspace Phi = [ang, lin], (nu, B) components ---
+    ident = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    Rext = tuple(
+        jnp.concatenate([Rc[k], jnp.full((1, B), ident[k])], axis=0)
+        for k in range(9)
+    )
+    dbr, dbd = st.db_rot, st.db_dyn
+    ax = tuple(jnp.asarray(st.axloc[:, k])[:, None] for k in range(3))
+    a = (
+        Rext[0][dbr] * ax[0] + Rext[1][dbr] * ax[1] + Rext[2][dbr] * ax[2],
+        Rext[3][dbr] * ax[0] + Rext[4][dbr] * ax[1] + Rext[5][dbr] * ax[2],
+        Rext[6][dbr] * ax[0] + Rext[7][dbr] * ax[1] + Rext[8][dbr] * ax[2],
+    )
+    pd = tuple(c[dbd] for c in p)                      # (nu, B)
+    lever = tuple(o - c for o, c in zip(origin, pd))
+    is_ang = jnp.asarray(st.is_ang)
+    is_joint = jnp.asarray(st.is_joint)
+    el = tuple(jnp.asarray(st.e_lin[:, k])[:, None] for k in range(3))
+    phi_a = tuple(c * is_ang for c in a)
+    axl = _cross(a, lever)
+    phi_l = tuple(c * is_ang + e for c, e in zip(axl, el))
+
+    # Phi-dot: joint dofs rotate with the body; root-angular axes are fixed
+    # world axes (angular derivative zero, linear term from the moving point)
+    wd = tuple(c[dbd] for c in w)
+    vo = tuple(v[dbd] + cr for v, cr in zip(vl, _cross(wd, lever)))
+    dphi_a = tuple(c * is_joint for c in _cross(wd, phi_a))
+    dphi_l = tuple(
+        (c1 + c2) * is_ang
+        for c1, c2 in zip(_cross(wd, phi_l), _cross(vo, phi_a))
+    )
+
+    # --- spatial inertias in (m, h, I) form, (nb, B) ---
+    Isym = _symprod_RIR(Rc, st.inertia)                # I_com in world axes
+    c_off = tuple(cc - o for cc, o in zip(cw, origin)) # com - origin
+    mass = jnp.asarray(st.mass)[:, None]
+    h = tuple(mass * c for c in c_off)
+    c2 = _dot(c_off, c_off)
+    # TL = I_w + m((c.c)δ - c c^T)
+    TL = (
+        Isym[0] + mass * (c2 - c_off[0] * c_off[0]),
+        Isym[1] - mass * c_off[0] * c_off[1],
+        Isym[2] - mass * c_off[0] * c_off[2],
+        Isym[3] + mass * (c2 - c_off[1] * c_off[1]),
+        Isym[4] - mass * c_off[1] * c_off[2],
+        Isym[5] + mass * (c2 - c_off[2] * c_off[2]),
+    )
+
+    # --- composite (subtree) inertias: static masked sums over bodies ---
+    S = jnp.asarray(st.S)
+    TLc = tuple(_mm(S, t) for t in TL)
+    hc = tuple(_mm(S, t) for t in h)
+    msub = jnp.asarray(st.msub)[:, None]
+
+    # --- F = Ic[body(d)] Phi(d); G/M assembly ---
+    TLd = tuple(t[dbd] for t in TLc)
+    hd = tuple(t[dbd] for t in hc)
+    md = jnp.asarray(st.msub[st.db_dyn])[:, None]
+    F_a = tuple(
+        s + c for s, c in zip(_sym_mv(TLd, phi_a), _cross(hd, phi_l))
+    )
+    F_l = tuple(
+        c + md * pl for c, pl in zip(_cross(phi_a, hd), phi_l)
+    )
+
+    # G[d, e] = F(d) . Phi(e): six outer-product accumulations on (nu, nu, B)
+    G = sum(
+        Fk[:, None, :] * Pk[None, :, :]
+        for Fk, Pk in zip(F_a + F_l, phi_a + phi_l)
+    )
+    Wm = jnp.asarray(st.Wm)[:, :, None]
+    both = jnp.asarray(st.both)[:, :, None]
+    WG = Wm * G
+    M_bl = WG + jnp.transpose(WG, (1, 0, 2)) - both * G
+
+    # --- bias forces ---
+    u = states.u[:, :nu].T                             # (nu, B)
+    A_ = jnp.asarray(st.A)
+    phiu_a = tuple(c * u for c in dphi_a)
+    phiu_l = tuple(c * u for c in dphi_l)
+    ab_a = tuple(_mm(A_, c) for c in phiu_a)               # (nb, B) bias accel
+    ab_l = tuple(_mm(A_, c) for c in phiu_l)
+    vs_a = tuple(_mm(A_, c * u) for c in phi_a)          # body spatial velocity
+    vs_l = tuple(_mm(A_, c * u) for c in phi_l)
+
+    # Iv = I_sp v  (per body, (m, h, I) form)
+    Iv_a = tuple(s + c for s, c in zip(_sym_mv(TL, vs_a), _cross(h, vs_l)))
+    Iv_l = tuple(c + mass * vlk for c, vlk in zip(_cross(vs_a, h), vs_l))
+    # f_vel = v x* Iv
+    fv_a = tuple(
+        c1 + c2 for c1, c2 in zip(_cross(vs_a, Iv_a), _cross(vs_l, Iv_l))
+    )
+    fv_l = _cross(vs_a, Iv_l)
+    # f_bias = I_sp a_bias + f_vel
+    fb_a = tuple(
+        s + c + f
+        for s, c, f in zip(_sym_mv(TL, ab_a), _cross(h, ab_l), fv_a)
+    )
+    fb_l = tuple(
+        c + mass * ak + f for c, ak, f in zip(_cross(ab_a, h), ab_l, fv_l)
+    )
+    # gravity at origin: [ (c-o) x mg, mg ]
+    g = tuple(float(np.asarray(model.gravity)[k]) for k in range(3))
+    Fg = tuple(mass * gk for gk in g)
+    tau_g = _cross(c_off, Fg)
+    ft_a = tuple(f - t for f, t in zip(fb_a, tau_g))
+    ft_l = tuple(f - t for f, t in zip(fb_l, Fg))
+
+    At = jnp.asarray(st.A.T)                           # (nu, nb)
+    Fd_a = tuple(_mm(At, c) for c in ft_a)
+    Fd_l = tuple(_mm(At, c) for c in ft_l)
+    bias = sum(p_ * f_ for p_, f_ in zip(phi_a + phi_l, Fd_a + Fd_l))
+
+    # --- armature + SPD implicit damping on the diagonal ---
+    rd = model.root_dofs
+    diag = np.zeros(model.nu, np.float32)
+    diag[rd:] = np.asarray(model.armature) + dt * np.asarray(model.damping)
+    if rd == 6:
+        diag[3:6] += dt * float(np.asarray(model.ang_damping))
+    eye = jnp.asarray(np.eye(nu, dtype=np.float32) * diag[None, :])
+    M_bl = M_bl + eye[:, :, None]
+
+    Phi = jnp.stack([c.T for c in phi_a + phi_l], axis=-1)   # (B, nu, 6)
+    return M_bl, bias.T, Phi

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ase_tpu.ops import linalg3
 from ase_tpu.ops import quat as rot
-from ase_tpu.physics import collision2, collision3, dynamics, solver
+from ase_tpu.physics import collision2, collision3, dynamics, dynamics2, solver
 from ase_tpu.physics import model as M
 from ase_tpu.physics.dynamics import State
 
@@ -73,6 +73,12 @@ def _chol_batched(Mb: jnp.ndarray) -> jnp.ndarray:
     if n > 64 or B < 64 or os.environ.get("ASE_TPU_LAX_CHOL", "0") == "1":
         return jax.lax.linalg.cholesky(Mb, symmetrize_input=False)
     A = jnp.transpose(Mb, (1, 2, 0))                    # (n, n, B)
+    return _chol_batch_last(A)
+
+
+def _chol_batch_last(A: jnp.ndarray) -> jnp.ndarray:
+    """Right-looking Cholesky on (n, n, B); returns L as (B, n, n)."""
+    n = A.shape[0]
     for k in range(n):
         d = jnp.sqrt(A[k, k])
         col = A[k + 1 :, k] / d
@@ -99,7 +105,17 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
     Bn = actions.shape[0]
 
     kin = jax.vmap(lambda s: dynamics.fk(model, s))(states)
-    dyn = jax.vmap(lambda s, k: dynamics.compute_dynamics(model, s, k, h))(states, kin)
+    if os.environ.get("ASE_TPU_DYNAMICS_AOS", "0") == "1":
+        dyn_ref = jax.vmap(
+            lambda s, k: dynamics.compute_dynamics(model, s, k, h)
+        )(states, kin)
+        M_bl = jnp.transpose(dyn_ref.Mmat, (1, 2, 0))
+        bias, Phi = dyn_ref.bias, dyn_ref.Phi
+    else:
+        M_bl, bias, Phi = dynamics2.compute_dynamics_batch_last(
+            model, states, kin, h
+        )
+    Amask = jnp.asarray(dynamics.ancestor_mask(model))
 
     # actuation
     if cfg.torque_control:
@@ -112,8 +128,8 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
     tau_full = jnp.zeros((Bn, nu)).at[:, model.root_dofs :].set(tau)
 
     # forward dynamics: batched Cholesky solve
-    L = _chol_batched(dyn.Mmat)
-    qdd = _chol_solve_batched(L, (tau_full - dyn.bias)[..., None])[..., 0]
+    L = _chol_batch_last(M_bl)
+    qdd = _chol_solve_batched(L, (tau_full - bias)[..., None])[..., 0]
     u_art = states.u[:, :nu] + h * qdd
 
     # free props: gravity + gyroscopic terms (batched closed form)
@@ -152,8 +168,8 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
     contacts = contacts._replace(friction=contacts.friction * friction_scale[:, None])
 
     J = jax.vmap(
-        lambda c, phi, am, o, pp: solver.contact_jacobian(model, c, phi, am, o, pp)
-    )(contacts, dyn.Phi, dyn.Amask, states.root_pos, states.prop_pos)
+        lambda c, phi, o, pp: solver.contact_jacobian(model, c, phi, Amask, o, pp)
+    )(contacts, Phi, states.root_pos, states.prop_pos)
 
     # W = M^{-1} J^T : batched triangular solves for the articulation block,
     # closed-form 3x3 inverses for the prop blocks

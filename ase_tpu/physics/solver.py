@@ -48,6 +48,8 @@ class SolverConfig(NamedTuple):
     max_depenetration_velocity: float = 10.0  # PhysX param parity
     impulse_cap_velocity: float = 25.0 # max normal Δv one contact may inject
     regularization: float = 1e-6
+    matvec_bf16: bool = True           # bf16 Delassus matvec (f32 accumulate);
+                                       # ~0.4% iterate noise, inside solver tol
 
 
 def _tangent_basis(n: jnp.ndarray):
@@ -250,9 +252,10 @@ def solve_batched(
         # divergence guard: cap each contact's normal impulse by the impulse
         # that would inject impulse_cap_velocity through its own diagonal
         lam_cap = cfg.impulse_cap_velocity / jnp.maximum(diag[..., 0, 0], 1e-3)
+        A_it = A.astype(jnp.bfloat16) if cfg.matvec_bf16 else A
         lam = pallas_solver.solve_jacobi(
-            A, v0, target, diag_inv, mu, active, cfg.iterations, cfg.relaxation,
-            lam_cap,
+            A_it, v0, target, diag_inv, mu, active, cfg.iterations,
+            cfg.relaxation, lam_cap,
         )
     else:
         lam = jax.vmap(
