@@ -38,7 +38,10 @@ _einsum = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 
 class SolverConfig(NamedTuple):
-    iterations: int = 24
+    iterations: int = 16               # 16 vs 24 measured identical standing
+                                       # accuracy (fz/mg 1.002) and random-
+                                       # action stability; PhysX runs 4 TGS
+                                       # position iters on this config
     relaxation: float = 0.35           # Jacobi under-relaxation (must stay
                                        # below ~1/coupling for foot-corner
                                        # clusters or the iteration diverges)
