@@ -27,7 +27,14 @@ import jax.numpy as jnp
 
 from ase_tpu.ops import linalg3
 from ase_tpu.ops import quat as rot
-from ase_tpu.physics import collision2, collision3, dynamics, dynamics2, solver
+from ase_tpu.physics import (
+    collision2,
+    collision3,
+    dynamics,
+    dynamics2,
+    solver,
+    solver2,
+)
 from ase_tpu.physics import model as M
 from ase_tpu.physics.dynamics import State
 
@@ -167,28 +174,52 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
         )(kin.body_R, kin.body_pos, prop_R, states.prop_pos)
     contacts = contacts._replace(friction=contacts.friction * friction_scale[:, None])
 
-    J = jax.vmap(
-        lambda c, phi, o, pp: solver.contact_jacobian(model, c, phi, Amask, o, pp)
-    )(contacts, Phi, states.root_pos, states.prop_pos)
-
-    # W = M^{-1} J^T : batched triangular solves for the articulation block,
-    # closed-form 3x3 inverses for the prop blocks
-    K = J.shape[1]  # actual contact budget (<= cfg.max_contacts)
-    Jf = J.reshape(Bn, K * 3, model.nv)
-    W_art = _chol_solve_batched(L, jnp.swapaxes(Jf[..., :nu], 1, 2))   # (B, nu, 3K)
-    if model.num_props > 0:
-        Jp = jnp.swapaxes(Jf[..., nu:], 1, 2).reshape(Bn, model.num_props, 6, K * 3)
-        lin = Jp[:, :, 0:3, :] / model.mass[None, model.nb :, None, None]
-        I_w_inv = linalg3.inv3(I_w)                                    # (B, np, 3, 3)
-        ang = _einsum("bpij,bpjm->bpim", I_w_inv, Jp[:, :, 3:6, :])
-        W_prop = jnp.concatenate([lin, ang], axis=2).reshape(Bn, -1, K * 3)
-        W = jnp.concatenate([W_art, W_prop], axis=1)                   # (B, nv, 3K)
-    else:
-        W = W_art
-
-    u_new, lam, body_forces = solver.solve_batched(
-        model, contacts, J, W, u_free, h, cfg.solver
+    use_cg = (
+        cfg.solver.scheme == "jacobi"
+        and os.environ.get("ASE_TPU_CONTACT_AOS", "0") != "1"
     )
+    if use_cg:
+        # component-grouped pipeline: JT is born in the layout the W solve
+        # and Delassus assembly consume (no (B,K,3,nu) padded intermediates)
+        JT = solver2.contact_jacobian_t(
+            model, contacts, Phi, Amask, states.root_pos, states.prop_pos
+        )                                                              # (B, nv, 3K)
+        W_art = _chol_solve_batched(L, JT[:, :nu, :])                  # (B, nu, 3K)
+        if model.num_props > 0:
+            Jp = JT[:, nu:, :].reshape(Bn, model.num_props, 6, -1)
+            lin = Jp[:, :, 0:3, :] / model.mass[None, model.nb :, None, None]
+            I_w_inv = linalg3.inv3(I_w)
+            ang = _einsum("bpij,bpjm->bpim", I_w_inv, Jp[:, :, 3:6, :])
+            W_prop = jnp.concatenate([lin, ang], axis=2).reshape(Bn, -1, JT.shape[-1])
+            W = jnp.concatenate([W_art, W_prop], axis=1)
+        else:
+            W = W_art
+        u_new, lam, body_forces = solver2.solve_batched_t(
+            model, contacts, JT, W, u_free, h, cfg.solver
+        )
+    else:
+        J = jax.vmap(
+            lambda c, phi, o, pp: solver.contact_jacobian(model, c, phi, Amask, o, pp)
+        )(contacts, Phi, states.root_pos, states.prop_pos)
+
+        # W = M^{-1} J^T : batched triangular solves for the articulation
+        # block, closed-form 3x3 inverses for the prop blocks
+        K = J.shape[1]  # actual contact budget (<= cfg.max_contacts)
+        Jf = J.reshape(Bn, K * 3, model.nv)
+        W_art = _chol_solve_batched(L, jnp.swapaxes(Jf[..., :nu], 1, 2))
+        if model.num_props > 0:
+            Jp = jnp.swapaxes(Jf[..., nu:], 1, 2).reshape(Bn, model.num_props, 6, K * 3)
+            lin = Jp[:, :, 0:3, :] / model.mass[None, model.nb :, None, None]
+            I_w_inv = linalg3.inv3(I_w)                                # (B, np, 3, 3)
+            ang = _einsum("bpij,bpjm->bpim", I_w_inv, Jp[:, :, 3:6, :])
+            W_prop = jnp.concatenate([lin, ang], axis=2).reshape(Bn, -1, K * 3)
+            W = jnp.concatenate([W_art, W_prop], axis=1)               # (B, nv, 3K)
+        else:
+            W = W_art
+
+        u_new, lam, body_forces = solver.solve_batched(
+            model, contacts, J, W, u_free, h, cfg.solver
+        )
 
     # clamp angular velocities (asset option max_angular_velocity)
     def clamp_w(w):

@@ -1,0 +1,220 @@
+"""Component-grouped (TPU lane-dense) contact pipeline.
+
+The vmapped ``solver.contact_jacobian`` materializes (B, K, 3, nu) tensors
+whose (3, nu) minor dims tile-pad to (8, 128); this module builds the
+transposed Jacobian directly in its consumer layout JT (B, nv, 3K) with the
+3K columns grouped by contact-frame component [normals | t1 | t2], so:
+
+* the articulation block of JT IS the rhs of the W = M^-1 J^T solve (no
+  swapaxes copy),
+* the Delassus assembly is one MXU contraction over the dof axis,
+* per-contact 3x3 block quantities (diag inverse, projections, impulses)
+  live in (B, K) component arrays.
+
+Math is identical to ``solver.solve_batched`` (same Jacobi iteration,
+Baumgarte bias, Coulomb projection, caps); parity pinned by
+tests/test_solver2.py. Solver hyperparameters mirror the PhysX TGS block the
+reference configures (reference ``ase/utils/config.py:135-142``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ase_tpu.ops import pallas_solver
+from ase_tpu.physics import model as M
+from ase_tpu.physics.collision import Contacts
+from ase_tpu.physics.solver import SolverConfig
+
+_einsum = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
+
+def _cross(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _basis_comps(normal):
+    """Orthonormal contact frame as component tuples of (B, K)."""
+    n = tuple(normal[..., k] for k in range(3))
+    use_z = jnp.abs(n[2]) < 0.9
+    ref = (
+        jnp.where(use_z, 0.0, 1.0),
+        jnp.zeros_like(n[0]),
+        jnp.where(use_z, 1.0, 0.0),
+    )
+    t1 = _cross(n, ref)
+    t1n = jnp.maximum(jnp.sqrt(sum(c * c for c in t1)), 1e-9)
+    t1 = tuple(c / t1n for c in t1)
+    t2 = _cross(n, t1)
+    return n, t1, t2
+
+
+def contact_jacobian_t(
+    model: M.Model,
+    contacts: Contacts,     # batched (B, K, ...)
+    Phi: jnp.ndarray,       # (B, nu, 6)
+    Amask: jnp.ndarray,     # (nb, nu) static
+    origin: jnp.ndarray,    # (B, 3)
+    prop_pos: jnp.ndarray,  # (B, np, 3)
+):
+    """JT (B, nv, 3K), columns grouped [n-block | t1-block | t2-block]."""
+    B, K = contacts.depth.shape
+    nb, nu = model.nb, model.nu
+
+    n, t1, t2 = _basis_comps(contacts.normal)
+    lever = tuple(contacts.pos[..., k] - origin[:, k : k + 1] for k in range(3))
+    Pa = tuple(Phi[..., k] for k in range(3))            # (B, nu) angular
+    Pl = tuple(Phi[..., 3 + k] for k in range(3))        # linear
+
+    # ancestor-dof masks via one-hot MXU contraction (exact: 0/1 weights)
+    ar_nb = jnp.arange(nb)
+    oh_a = (contacts.body_a[..., None] == ar_nb).astype(jnp.float32)  # (B,K,nb)
+    oh_b = (contacts.body_b[..., None] == ar_nb).astype(jnp.float32)
+    mdiff = _einsum("bkc,cv->bvk", oh_a - oh_b, Amask)   # (B, nu, K)
+
+    def art_block(b):
+        c = _cross(lever, b)
+        core = sum(
+            Pl[x][:, :, None] * b[x][:, None, :] + Pa[x][:, :, None] * c[x][:, None, :]
+            for x in range(3)
+        )                                                # (B, nu, K)
+        return mdiff * core
+
+    JT_art = jnp.concatenate(
+        [art_block(n), art_block(t1), art_block(t2)], axis=2
+    )                                                    # (B, nu, 3K)
+
+    if model.num_props == 0:
+        return JT_art
+
+    rows = []
+    for p in range(model.num_props):
+        pid = nb + p
+        sgn = (
+            (contacts.body_a == pid).astype(jnp.float32)
+            - (contacts.body_b == pid).astype(jnp.float32)
+        )                                                # (B, K)
+        r = tuple(
+            contacts.pos[..., k] - prop_pos[:, p, k : k + 1] for k in range(3)
+        )
+        lin_rows = [[], [], []]   # per component x/y/z: 3 blocks (n, t1, t2)
+        ang_rows = [[], [], []]
+        for b in (n, t1, t2):
+            rxb = _cross(r, b)
+            for x in range(3):
+                lin_rows[x].append(b[x] * sgn)
+                ang_rows[x].append(rxb[x] * sgn)
+        for x in range(3):
+            rows.append(jnp.concatenate(lin_rows[x], axis=1))   # (B, 3K)
+        for x in range(3):
+            rows.append(jnp.concatenate(ang_rows[x], axis=1))
+    JT_prop = jnp.stack(rows, axis=1)                    # (B, np*6, 3K)
+    return jnp.concatenate([JT_art, JT_prop], axis=1)
+
+
+def _inv3_comps(D):
+    """Adjugate inverse of 3x3 blocks given as a (3,3) nest of (B,K)."""
+    a, b, c = D[0][0], D[0][1], D[0][2]
+    d, e, f = D[1][0], D[1][1], D[1][2]
+    g, h, i = D[2][0], D[2][1], D[2][2]
+    A = e * i - f * h
+    Bc = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * Bc + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+    return (
+        (A * inv_det, (c * h - b * i) * inv_det, (b * f - c * e) * inv_det),
+        (Bc * inv_det, (a * i - c * g) * inv_det, (c * d - a * f) * inv_det),
+        (C * inv_det, (b * g - a * h) * inv_det, (a * e - b * d) * inv_det),
+    )
+
+
+def solve_batched_t(
+    model: M.Model,
+    contacts: Contacts,      # batched (B, K, ...)
+    JT: jnp.ndarray,         # (B, nv, 3K) component-grouped
+    W: jnp.ndarray,          # (B, nv, 3K) = M^{-1} J^T, same ordering
+    u_free: jnp.ndarray,     # (B, nv)
+    dt: float,
+    cfg: SolverConfig,
+):
+    """Contact solve in component-grouped layout. Returns
+    (u_new (B, nv), lam (B, K, 3), body_forces (B, nb+np, 3))."""
+    B, K = contacts.depth.shape
+
+    n_ok = jnp.abs(jnp.sum(jnp.square(contacts.normal), axis=-1) - 1.0) < 0.1
+    active = ((contacts.depth > 0.0) & n_ok).astype(jnp.float32)
+    mu = contacts.friction * active
+
+    A = _einsum("bvi,bvj->bij", JT, W)
+    A = A + cfg.regularization * jnp.eye(3 * K)[None]
+
+    v_bias = jnp.minimum(
+        cfg.baumgarte / dt * jnp.maximum(contacts.depth - cfg.slop, 0.0),
+        cfg.max_depenetration_velocity,
+    )
+    v0f = _einsum("bvi,bv->bi", JT, u_free)              # (B, 3K) cg order
+
+    # 3x3 diagonal blocks from the component-grouped A
+    A5 = A.reshape(B, 3, K, 3, K)
+    Dblk = jnp.diagonal(A5, axis1=2, axis2=4)            # (B, 3, 3, K)
+    D = [[Dblk[:, i, j] + (1e-5 if i == j else 0.0) for j in range(3)] for i in range(3)]
+    Dinv = _inv3_comps(D)
+
+    active = active * (D[0][0] > 1e-4).astype(jnp.float32)
+    mu = mu * active
+    lam_cap = cfg.impulse_cap_velocity / jnp.maximum(D[0][0], 1e-3)
+
+    omega = cfg.relaxation
+    A_it = A.astype(jnp.bfloat16) if cfg.matvec_bf16 else A
+    mv_kw = (
+        dict(preferred_element_type=jnp.float32)
+        if A_it.dtype == jnp.bfloat16
+        else dict(precision=jax.lax.Precision.HIGHEST)
+    )
+
+    def body(_, lam):
+        r = v0f + jnp.einsum(
+            "bij,bj->bi", A_it, lam.astype(A_it.dtype), **mv_kw
+        ).astype(jnp.float32)
+        en = v_bias - r[:, :K]
+        e1 = -r[:, K : 2 * K]
+        e2 = -r[:, 2 * K :]
+        dn = Dinv[0][0] * en + Dinv[0][1] * e1 + Dinv[0][2] * e2
+        d1 = Dinv[1][0] * en + Dinv[1][1] * e1 + Dinv[1][2] * e2
+        d2 = Dinv[2][0] * en + Dinv[2][1] * e1 + Dinv[2][2] * e2
+        ln = jnp.minimum(jnp.maximum(lam[:, :K] + omega * dn, 0.0), lam_cap)
+        l1 = lam[:, K : 2 * K] + omega * d1
+        l2 = lam[:, 2 * K :] + omega * d2
+        lt_norm = jnp.sqrt(l1 * l1 + l2 * l2) + 1e-9
+        scale = jnp.minimum(1.0, mu * ln / lt_norm)
+        return jnp.concatenate(
+            [ln * active, l1 * scale * active, l2 * scale * active], axis=1
+        )
+
+    lam_f = jax.lax.fori_loop(0, cfg.iterations, body, jnp.zeros((B, 3 * K)))
+    u_new = u_free + _einsum("bvj,bj->bv", W, lam_f)
+
+    # world-frame per-body contact forces via one-hot MXU scatters
+    n, t1, t2 = _basis_comps(contacts.normal)
+    ln, l1, l2 = lam_f[:, :K], lam_f[:, K : 2 * K], lam_f[:, 2 * K :]
+    f = tuple((ln * nk + l1 * t1k + l2 * t2k) / dt for nk, t1k, t2k in zip(n, t1, t2))
+    nbp = model.nb + model.num_props
+    ar = jnp.arange(nbp)
+    oh_a = (contacts.body_a[..., None] == ar).astype(jnp.float32) * active[..., None]
+    oh_b = (contacts.body_b[..., None] == ar).astype(jnp.float32) * active[..., None]
+    oh = oh_a - oh_b                                     # (B, K, nbp)
+    body_forces = jnp.stack(
+        [_einsum("bkc,bk->bc", oh, fk) for fk in f], axis=-1
+    )                                                    # (B, nbp, 3)
+
+    lam = jnp.stack([ln, l1, l2], axis=-1)               # (B, K, 3)
+    return u_new, lam, body_forces
