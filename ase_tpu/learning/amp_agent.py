@@ -207,6 +207,15 @@ class AMPAgent(CommonAgent):
 
     # -- minibatch preprocessing (amp rms updates, reference train-mode calls) ---
 
+    def _minibatch_rows(self):
+        # the 1400-dim AMP fields only ever feed amp_minibatch-sized disc
+        # batches — gathering full minibatch rows was the dominant
+        # update-phase cost (row gathers are slow on TPU)
+        rows = super()._minibatch_rows()
+        n = self._amp_minibatch_size
+        rows.update(amp_obs=n, amp_obs_replay=n, amp_obs_demo=n)
+        return rows
+
     def _preproc_minibatch(self, ts, mb):
         ts, mb = super()._preproc_minibatch(ts, mb)
         a = mb["amp_obs"][: self._amp_minibatch_size]

@@ -432,10 +432,22 @@ class CommonAgent:
         ts = self._post_epoch(ts, batch)
         return ts, env_state, dataset, roll_metrics
 
+    def _minibatch_rows(self):
+        """Hook: per-field row counts smaller than the minibatch. Fields
+        listed here are gathered with only the first N permuted indices —
+        the minibatch row-gathers dominate update-phase time on TPU, and
+        e.g. the AMP 1400-dim fields only ever use amp_minibatch rows."""
+        return {}
+
     def _update_phase_impl(self, ts: TrainState, dataset):
+        mb_rows = self._minibatch_rows()
+
         def minibatch_update(carry, idx):
             ts = carry
-            mb = jax.tree_util.tree_map(lambda x: x[idx], dataset)
+            mb = {
+                k: (x[idx] if k not in mb_rows else x[idx[: mb_rows[k]]])
+                for k, x in dataset.items()
+            }
             ts, mb = self._preproc_minibatch(ts, mb)
             (loss, info), grads = jax.value_and_grad(self._loss, has_aux=True)(
                 ts.params, ts, mb
