@@ -69,6 +69,9 @@ class DomainRandomizer:
         self.friction_spec = NoiseSpec(rs["friction"]) if "friction" in rs else None
         dof = actor.get("dof_properties", {})
         self.stiffness_spec = NoiseSpec(dof["stiffness"]) if "stiffness" in dof else None
+        # sim-parameter randomization (reference sim_params block): gravity
+        sim = cfg.get("sim_params", {})
+        self.gravity_spec = NoiseSpec(sim["gravity"]) if "gravity" in sim else None
 
     # -- per-step noise -------------------------------------------------------
 
@@ -89,18 +92,29 @@ class DomainRandomizer:
             "friction_scale": jnp.ones(B),
             "mass_scale": jnp.ones(B),
             "stiffness_scale": jnp.ones(B),
+            "gravity_scale": jnp.ones(B),
             "dr_count": jnp.zeros(B, jnp.int32),
+            # global control-step counter driving the per-property schedules
+            # (reference base_task.py last_step-based linear ramps)
+            "step_count": jnp.zeros(()),
         }
 
-    def resample_scales(self, rng, scales: Dict[str, jnp.ndarray], mask, step_count):
+    def tick(self, scales: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        out = dict(scales)
+        out["step_count"] = scales["step_count"] + 1.0
+        return out
+
+    def resample_scales(self, rng, scales: Dict[str, jnp.ndarray], mask):
         """Resample property scales for envs in `mask` (at reset, respecting
-        the randomization frequency)."""
+        the randomization frequency). Schedules ramp with the global
+        step counter carried in the scales dict."""
         if not self.enabled:
             return scales
         B = scales["friction_scale"].shape[0]
+        step_count = scales["step_count"]
         out = dict(scales)
         due = mask & (scales["dr_count"] % jnp.maximum(self.frequency, 1) == 0)
-        k1, k2, k3 = jax.random.split(rng, 3)
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
         if self.friction_spec:
             f = self.friction_spec.apply(k1, jnp.ones(B), step_count)
             out["friction_scale"] = jnp.where(due, f, scales["friction_scale"])
@@ -110,5 +124,8 @@ class DomainRandomizer:
         if self.stiffness_spec:
             s = self.stiffness_spec.apply(k3, jnp.ones(B), step_count)
             out["stiffness_scale"] = jnp.where(due, s, scales["stiffness_scale"])
+        if self.gravity_spec:
+            g = self.gravity_spec.apply(k4, jnp.ones(B), step_count)
+            out["gravity_scale"] = jnp.where(due, g, scales["gravity_scale"])
         out["dr_count"] = scales["dr_count"] + mask.astype(jnp.int32)
         return out

@@ -294,9 +294,7 @@ class Humanoid:
         if self._dr.enabled:
             state, keys = self.split_rng(state, 1)
             aux = dict(state.aux)
-            aux["dr"] = self._dr.resample_scales(
-                keys[0], aux["dr"], mask, jnp.asarray(0.0)
-            )
+            aux["dr"] = self._dr.resample_scales(keys[0], aux["dr"], mask)
             state = state.replace(aux=aux)
         new_state, mask = self._reset_actors(state, mask)
         state = _masked_merge_phys(state, new_state, mask)
@@ -331,23 +329,29 @@ class Humanoid:
     def step(self, state: EnvState, actions: jnp.ndarray) -> EnvState:
         actions = jnp.clip(actions, -1.0, 1.0)
         if self._dr.enabled:
+            aux = dict(state.aux)
+            aux["dr"] = self._dr.tick(aux["dr"])
+            state = state.replace(aux=aux)
             state, keys = self.split_rng(state, 1)
             actions = self._dr.randomize_actions(
-                keys[0], actions, state.progress.astype(jnp.float32)[:, None]
+                keys[0], actions, state.aux["dr"]["step_count"]
             )
         state, tgt = self.pre_physics_step(state, actions)
 
         phys = state.phys
         forces = state.contact_forces
         if self._dr.enabled:
-            fs = state.aux["dr"]["friction_scale"]
-            gs = state.aux["dr"]["stiffness_scale"]
+            dr = state.aux["dr"]
+            fs, gs = dr["friction_scale"], dr["stiffness_scale"]
+            ms, grav = dr["mass_scale"], dr["gravity_scale"]
         else:
             fs = jnp.ones(self.num_envs)
             gs = jnp.ones(self.num_envs)
+            ms = grav = None
         for _ in range(self.control_freq_inv):
             out = engine.step_batched(
-                self.model, self.sim_cfg, self._tables, phys, tgt, fs, gs
+                self.model, self.sim_cfg, self._tables, phys, tgt, fs, gs,
+                mass_scale=ms, gravity_scale=grav,
             )
             phys = out.state
         state = state.replace(
@@ -372,7 +376,7 @@ class Humanoid:
         if self._dr.enabled:
             state, keys = self.split_rng(state, 1)
             obs = self._dr.randomize_observations(
-                keys[0], obs, state.progress.astype(jnp.float32)[:, None]
+                keys[0], obs, state.aux["dr"]["step_count"]
             )
         rew = self._compute_reward(state)
         reset, term = self._compute_reset(state)
@@ -417,11 +421,19 @@ class Humanoid:
 
 
 def _masked_merge_phys(state: EnvState, new_state: EnvState, mask: jnp.ndarray) -> EnvState:
-    """Merge physics state of new_state into state where mask is set."""
+    """Merge physics state of new_state into state where mask is set.
+
+    Everything else (rng, aux, …) is carried from ``new_state``: the reset
+    pipeline advances the PRNG and writes reset bookkeeping (reset_ref_mask,
+    recovery counters, DR scales) into the candidate state, and subclass
+    ``_reset_actors`` implementations mask within ``aux`` themselves. Keeping
+    the pre-reset rng/aux here would freeze the env RNG and drop all reset
+    bookkeeping (the round-1 RSI-diversity bug).
+    """
 
     def merge(a, b):
         m = mask.reshape(mask.shape + (1,) * (a.ndim - 1))
         return jnp.where(m, b, a)
 
     merged = jax.tree_util.tree_map(merge, state.phys, new_state.phys)
-    return state.replace(phys=merged)
+    return new_state.replace(phys=merged)

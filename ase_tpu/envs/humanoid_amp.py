@@ -67,15 +67,6 @@ class HumanoidAMP(Humanoid):
             [int(i) for i in self._key_body_ids.tolist()],
         )
 
-    # -- aux state -----------------------------------------------------------
-
-    def _initial_aux(self, B: int) -> Dict[str, Any]:
-        aux = super()._initial_aux(B)
-        aux["amp_obs"] = jnp.zeros(
-            (B, self._num_amp_obs_steps, self._num_amp_obs_per_step)
-        )
-        return aux
-
     # -- stepping ------------------------------------------------------------
 
     def _update_aux(self, state: EnvState) -> EnvState:
@@ -187,7 +178,7 @@ class HumanoidAMP(Humanoid):
         new_state = state.replace(phys=phys, aux=aux)
         return new_state, mask
 
-    def _initial_aux(self, B: int) -> Dict[str, Any]:  # noqa: F811
+    def _initial_aux(self, B: int) -> Dict[str, Any]:
         aux = super()._initial_aux(B)
         aux["amp_obs"] = jnp.zeros(
             (B, self._num_amp_obs_steps, self._num_amp_obs_per_step)

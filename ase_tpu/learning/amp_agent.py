@@ -89,6 +89,13 @@ class AMPAgent(CommonAgent):
 
     # -- extra state ------------------------------------------------------------
 
+    def _transient_extra(self) -> tuple:
+        # demo buffer is refilled from the motion library at init; the agent
+        # replay buffer re-warms within a few epochs (reference rl_games
+        # checkpoints persist neither) — dropping them cuts checkpoints from
+        # ~2.3 GB to ~50 MB at production buffer sizes
+        return ("extra['demo_buffer']", "extra['replay_buffer']")
+
     def _init_extra(self, rng) -> Dict[str, Any]:
         extra = super()._init_extra(rng)
         if self._normalize_amp_input:
@@ -137,8 +144,8 @@ class AMPAgent(CommonAgent):
 
     # -- record amp obs during rollout ------------------------------------------
 
-    def _record_step(self, ts, env_state, roll, rec):
-        rec = super()._record_step(ts, env_state, roll, rec)
+    def _record_step(self, ts, env_state, roll, rec, infos):
+        rec = super()._record_step(ts, env_state, roll, rec, infos)
         rec["amp_obs"] = self.env.amp_obs_flat(env_state)
         return rec
 

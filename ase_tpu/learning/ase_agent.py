@@ -116,8 +116,8 @@ class ASEAgent(AMPAgent):
         roll["latent_reset_steps"] = steps
         return ts, env_state, roll
 
-    def _record_step(self, ts, env_state, roll, rec):
-        rec = super()._record_step(ts, env_state, roll, rec)
+    def _record_step(self, ts, env_state, roll, rec, infos):
+        rec = super()._record_step(ts, env_state, roll, rec, infos)
         rec["ase_latents"] = roll["ase_latents"]
         return rec
 

@@ -22,11 +22,18 @@ def _leaf_key(path) -> str:
     return jax.tree_util.keystr(path)
 
 
-def save(path: str, state: Any) -> None:
+def save(path: str, state: Any, exclude: tuple = ()) -> None:
+    """Write a path-keyed npz of the pytree. `exclude` is a tuple of key
+    substrings to skip (e.g. reconstructible device buffers — the reference
+    .pth checkpoints don't persist the AMP demo/replay buffers either, and
+    they dominate size: ~2.2 GB at the production buffer sizes)."""
     leaves = jax.tree_util.tree_flatten_with_path(jax.device_get(state))[0]
     arrays = {}
     for p, v in leaves:
-        arrays[_leaf_key(p)] = np.asarray(v)
+        key = _leaf_key(p)
+        if any(x in key for x in exclude):
+            continue
+        arrays[key] = np.asarray(v)
     if not path.endswith(".npz"):
         path = path + ".npz"
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -77,6 +77,10 @@ class CommonAgent:
         self.save_frequency = int(config.get("save_frequency", 50))
         self.save_best_after = int(config.get("save_best_after", 50))
         self._save_intermediate = bool(config.get("save_intermediate", False))
+        self.games_to_track = int(config.get("games_to_track", 100))
+        # data-parallel env sharding over a device mesh (reference Horovod
+        # mode, run.py:36-50); set by setup_mesh() before train()
+        self.mesh = None
 
         self.batch_size = self.horizon_length * self.num_actors
         assert self.batch_size % self.minibatch_size == 0, (
@@ -114,13 +118,29 @@ class CommonAgent:
 
     def _init_extra(self, rng) -> Dict[str, Any]:
         B = self.num_actors
+        K = self.games_to_track
         return {
             "cur_rewards": jnp.zeros(B),
             "cur_lengths": jnp.zeros(B),
-            "game_reward_sum": jnp.zeros(()),
-            "game_length_sum": jnp.zeros(()),
-            "game_count": jnp.zeros(()),
+            # windowed episode meters (rl_games AverageMeter over the last
+            # `games_to_track` finished games): ring buffers + head/total
+            "game_rewards_buf": jnp.zeros(K),
+            "game_lengths_buf": jnp.zeros(K),
+            "game_head": jnp.zeros((), jnp.int32),
+            "game_total": jnp.zeros(()),
         }
+
+    def _ckpt_exclude(self) -> tuple:
+        """Key substrings omitted from checkpoints: reconstructible device
+        buffers (the reference .pth doesn't persist them either). Subclasses
+        extend; config save_buffers=true forces full-fidelity checkpoints
+        (used by the exact-resume test)."""
+        if bool(self.config.get("save_buffers", False)):
+            return ()
+        return self._transient_extra()
+
+    def _transient_extra(self) -> tuple:
+        return ()
 
     def _actor_sigma(self, params, obs_n, extra):
         """(mu, sigma) for the normalized obs batch."""
@@ -184,6 +204,32 @@ class CommonAgent:
         )
         return jnp.mean(jnp.sum(kl, axis=-1))
 
+    def _update_game_meters(self, extra, rewards, dones):
+        """Windowed episode meters: ring buffers over the last
+        `games_to_track` finished games (rl_games AverageMeter semantics,
+        reference common_agent.py:106-117). Finished envs are compacted into
+        consecutive ring slots via a cumsum rank; non-finished envs scatter
+        out-of-bounds and are dropped."""
+        extra = dict(extra)
+        K = self.games_to_track
+        cur_r = extra["cur_rewards"] + rewards
+        cur_l = extra["cur_lengths"] + 1.0
+        done_mask = dones > 0
+        fin_rank = jnp.cumsum(dones).astype(jnp.int32) - 1
+        pos = jnp.where(done_mask, (extra["game_head"] + fin_rank) % K, K)
+        extra["game_rewards_buf"] = extra["game_rewards_buf"].at[pos].set(
+            cur_r, mode="drop"
+        )
+        extra["game_lengths_buf"] = extra["game_lengths_buf"].at[pos].set(
+            cur_l, mode="drop"
+        )
+        n_fin = jnp.sum(dones)
+        extra["game_head"] = (extra["game_head"] + n_fin.astype(jnp.int32)) % K
+        extra["game_total"] = extra["game_total"] + n_fin
+        extra["cur_rewards"] = cur_r * (1.0 - dones)
+        extra["cur_lengths"] = cur_l * (1.0 - dones)
+        return extra
+
     # -- rollout hooks ---------------------------------------------------------
 
     def _pre_rollout_step(self, ts: TrainState, env_state, roll):
@@ -193,8 +239,10 @@ class CommonAgent:
     def _init_rollout_carry(self, ts: TrainState, env_state) -> Dict[str, Any]:
         return {}
 
-    def _record_step(self, ts, env_state, roll, rec):
-        """Extend the per-step record dict (AMP obs, latents, ...)."""
+    def _record_step(self, ts, env_state, roll, rec, infos):
+        """Extend the per-step record dict (AMP obs, latents, ...).
+        `infos` is the dict returned by `_env_step` (e.g. HRL per-window
+        disc rewards) — an explicit contract, no attribute swapping."""
         return rec
 
     def _env_step(self, ts: TrainState, env_state, actions, roll):
@@ -237,16 +285,7 @@ class CommonAgent:
             dones = env_state.reset_buf.astype(jnp.float32)
             terminated = env_state.terminate_buf.astype(jnp.float32)
 
-            # episode meters (reference game_rewards/game_lengths trackers)
-            extra = dict(ts.extra)
-            cur_r = extra["cur_rewards"] + rewards
-            cur_l = extra["cur_lengths"] + 1.0
-            extra["game_reward_sum"] = extra["game_reward_sum"] + jnp.sum(dones * cur_r)
-            extra["game_length_sum"] = extra["game_length_sum"] + jnp.sum(dones * cur_l)
-            extra["game_count"] = extra["game_count"] + jnp.sum(dones)
-            extra["cur_rewards"] = cur_r * (1.0 - dones)
-            extra["cur_lengths"] = cur_l * (1.0 - dones)
-            ts = ts.replace(extra=extra)
+            ts = ts.replace(extra=self._update_game_meters(ts.extra, rewards, dones))
 
             next_obs_n = (
                 ts.obs_rms.normalize(env_state.obs)
@@ -268,7 +307,7 @@ class CommonAgent:
                 "next_values": next_value,
                 "rand_action_mask": rand_mask,
             }
-            rec = self._record_step(ts, env_state, roll, rec)
+            rec = self._record_step(ts, env_state, roll, rec, infos)
             return (ts, env_state, roll), rec
 
         roll0 = self._init_rollout_carry(ts, env_state)
@@ -444,6 +483,12 @@ class CommonAgent:
 
         def minibatch_update(carry, idx):
             ts = carry
+            # advance the PRNG once per minibatch so losses that draw samples
+            # (e.g. ASE diversity latents via fold_in(ts.rng, ...)) get fresh
+            # randomness every minibatch, matching the reference's per-batch
+            # latent sampling (ase_agent._diversity_loss).
+            rng, _ = jax.random.split(ts.rng)
+            ts = ts.replace(rng=rng)
             mb = {
                 k: (x[idx] if k not in mb_rows else x[idx[: mb_rows[k]]])
                 for k, x in dataset.items()
@@ -474,10 +519,12 @@ class CommonAgent:
 
         ts, metrics = jax.lax.scan(mini_epoch, ts, None, length=self.mini_epochs)
         metrics = jax.tree_util.tree_map(jnp.mean, metrics)
-        n_games = jnp.maximum(ts.extra["game_count"], 1.0)
-        metrics["game_reward_mean"] = ts.extra["game_reward_sum"] / n_games
-        metrics["game_length_mean"] = ts.extra["game_length_sum"] / n_games
-        metrics["games_played"] = ts.extra["game_count"]
+        # windowed means: before the window fills, unwritten slots are zero,
+        # so dividing by min(total, K) gives the exact mean of stored games
+        n_games = jnp.clip(ts.extra["game_total"], 1.0, float(self.games_to_track))
+        metrics["game_reward_mean"] = jnp.sum(ts.extra["game_rewards_buf"]) / n_games
+        metrics["game_length_mean"] = jnp.sum(ts.extra["game_lengths_buf"]) / n_games
+        metrics["games_played"] = ts.extra["game_total"]
         return ts, metrics
 
     def _train_epoch_impl(self, ts: TrainState, env_state):
@@ -545,7 +592,35 @@ class CommonAgent:
 
     # -- outer loop (host side: logging, checkpoints) ---------------------------
 
-    def train(self, max_epochs: int = None, writer=None, log_every: int = 1):
+    def setup_mesh(self, mesh=None):
+        """Enable data-parallel env sharding over a device mesh.
+
+        TPU-native equivalent of the reference's Horovod mode (reference
+        ``run.py:36-50``, grad allreduce at ``common_agent.py:205-229``):
+        train state is replicated, env state / rollout tensors are sharded
+        over the ``env`` mesh axis, and XLA's SPMD partitioner inserts the
+        gradient/statistic all-reduces inside the jitted epoch — the
+        semantics are bit-identical to the single-device program.
+        """
+        from ase_tpu.parallel import mesh as mesh_lib
+
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+
+    def _place_states(self, ts, env_state):
+        """Apply mesh placement (no-op without a mesh)."""
+        if self.mesh is None or self.mesh.size <= 1:
+            return ts, env_state
+        from ase_tpu.parallel import mesh as mesh_lib
+
+        assert self.num_actors % self.mesh.size == 0, (
+            f"numEnvs {self.num_actors} % devices {self.mesh.size} != 0"
+        )
+        ts = mesh_lib.replicate_state(self.mesh, ts)
+        env_state = mesh_lib.shard_env_state(self.mesh, env_state)
+        return ts, env_state
+
+    def train(self, max_epochs: int = None, writer=None, log_every: int = 1,
+              restore_path: str = None):
         from ase_tpu.learning import checkpoint as ckpt
 
         max_epochs = max_epochs or self.max_epochs
@@ -554,13 +629,29 @@ class CommonAgent:
         ts = self.init_train_state(k1)
         env_state = self.env.initial_state(k2)
 
+        start_epoch = 0
+        if restore_path:
+            # training resume (reference config.py:97-104 / rl_games
+            # restore): the full TrainState pytree — params, optimizer state,
+            # normalizer statistics, replay buffers in extra, epoch/frame
+            # counters and RNG — comes back from the checkpoint; epoch
+            # counting continues where it stopped. Env state is freshly
+            # reset (the reference cannot restore PhysX state either).
+            ts = ckpt.restore(
+                restore_path, ts, strict=not self._ckpt_exclude()
+            )
+            start_epoch = int(np.asarray(ts.epoch))
+            print(f"resumed from {restore_path} at epoch {start_epoch}", flush=True)
+
+        ts, env_state = self._place_states(ts, env_state)
+
         os.makedirs(self.output_dir, exist_ok=True)
         name = self.config.get("name", "Humanoid")
         start = time.time()
         # jax.profiler trace hook (SURVEY §5.1): ASE_TPU_PROFILE=<epoch> traces
         # that epoch into <output>/profile for the TensorBoard trace viewer.
         profile_epoch = int(os.environ.get("ASE_TPU_PROFILE", "-1"))
-        for epoch in range(max_epochs):
+        for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
             if epoch == profile_epoch:
                 jax.profiler.start_trace(os.path.join(self.output_dir, "profile"))
@@ -587,7 +678,8 @@ class CommonAgent:
                         writer.add_scalar(f"train/{k}", float(v), frame)
                 writer.add_scalar("performance/total_fps", fps, frame)
             if self.save_frequency > 0 and (epoch + 1) % self.save_frequency == 0:
-                ckpt.save(os.path.join(self.output_dir, f"{name}.ckpt"), ts)
+                ckpt.save(os.path.join(self.output_dir, f"{name}.ckpt"), ts,
+                          exclude=self._ckpt_exclude())
                 if self._save_intermediate:
                     ckpt.save(
                         os.path.join(self.output_dir, f"{name}_{epoch + 1:08d}.ckpt"), ts
@@ -600,7 +692,9 @@ class CommonAgent:
                 and mean_rew > getattr(self, "_best_mean_rewards", -1e9)
             ):
                 self._best_mean_rewards = mean_rew
-                ckpt.save(os.path.join(self.output_dir, f"{name}_best.ckpt"), ts)
-        ckpt.save(os.path.join(self.output_dir, f"{name}.ckpt"), ts)
+                ckpt.save(os.path.join(self.output_dir, f"{name}_best.ckpt"), ts,
+                          exclude=self._ckpt_exclude())
+        ckpt.save(os.path.join(self.output_dir, f"{name}.ckpt"), ts,
+                  exclude=self._ckpt_exclude())
         print(f"training done in {time.time()-start:.1f}s")
         return ts, env_state

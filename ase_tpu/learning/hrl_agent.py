@@ -141,31 +141,10 @@ class HRLAgent(CommonAgent):
         infos = {"disc_rewards": disc_rewards}
         return ts, env_state, rewards, infos, roll
 
-    def _rollout(self, ts, env_state):
-        # wrap to capture disc_rewards from infos into the record
-        orig_env_step = self._env_step
-        disc_holder = {}
-
-        def env_step_wrap(ts, env_state, actions, roll):
-            ts, env_state, rewards, infos, roll = orig_env_step(ts, env_state, actions, roll)
-            roll = dict(roll)
-            roll["_last_disc"] = infos["disc_rewards"]
-            return ts, env_state, rewards, infos, roll
-
-        self._env_step = env_step_wrap
-        try:
-            out = super()._rollout(ts, env_state)
-        finally:
-            self._env_step = orig_env_step
-        return out
-
-    def _init_rollout_carry(self, ts, env_state):
-        roll = super()._init_rollout_carry(ts, env_state)
-        roll["_last_disc"] = jnp.zeros((self.num_actors, 1))
-        return roll
-
-    def _record_step(self, ts, env_state, roll, rec):
-        rec["disc_rewards"] = roll["_last_disc"]
+    def _record_step(self, ts, env_state, roll, rec, infos):
+        # per-window LLC disc rewards flow through the _env_step infos
+        # contract (no attribute swapping; safe under pjit/sharded wrappers)
+        rec["disc_rewards"] = infos["disc_rewards"]
         return rec
 
     def _process_rewards(self, ts, batch):

@@ -70,10 +70,22 @@ class ReplayBuffer:
         (reference replay_buffer.py:51-75). Returns (new_buffer, rows).
         Draws walk the stored permutation; when a call would run past the
         end, the permutation is reshuffled for subsequent calls (within a
-        single call larger than the buffer, wraps reuse the old order)."""
+        single call larger than the buffer, wraps reuse the old order).
+
+        While the buffer is only partially full the capacity-sized
+        permutation cannot index stored rows uniformly (perm % limit biases
+        low indices whenever capacity % limit != 0), so we fall back to
+        uniform sampling over the valid region — matching the reference's
+        uniform draw over stored rows."""
         limit = jnp.clip(self.total_count, 1, self.capacity)
         pos = (self.cursor + jnp.arange(n, dtype=jnp.int32)) % self.capacity
-        idx = self.perm[pos] % limit
+        rng, k_uniform = jax.random.split(rng)
+        full = self.total_count >= self.capacity
+        idx = jnp.where(
+            full,
+            self.perm[pos],
+            jax.random.randint(k_uniform, (n,), 0, limit),
+        )
         exhausted = self.cursor + n >= self.capacity
         new_perm = jnp.where(
             exhausted,

@@ -149,11 +149,19 @@ def _sym_mv(Ssym, v):
     )
 
 
-def compute_dynamics_batch_last(model: M.Model, states, kin, dt: float):
+def compute_dynamics_batch_last(model: M.Model, states, kin, dt: float,
+                                mass_scale=None, gravity_scale=None):
     """Batched dynamics assembly, batch-last layout.
 
     Returns (M_bl (nu, nu, B), bias (B, nu), Phi (B, nu, 6)) matching
     ``vmap(dynamics.compute_dynamics)`` up to layout.
+
+    ``mass_scale``/``gravity_scale`` are optional per-env (B,) domain-
+    randomization multipliers (reference base_task.py:306-386 actor
+    rigid_body_properties.mass / sim_params.gravity). Mass scaling is exact:
+    every inertia-linear term (mass matrix before the armature diagonal, all
+    velocity-product and gravity bias forces) is scaled; motor armature and
+    damping are reflected rotor properties and intentionally NOT scaled.
     """
     st = _static(model)
     nb, nu = model.nb, model.nu
@@ -271,7 +279,10 @@ def compute_dynamics_batch_last(model: M.Model, states, kin, dt: float):
     )
     # gravity at origin: [ (c-o) x mg, mg ]
     g = tuple(float(np.asarray(model.gravity)[k]) for k in range(3))
-    Fg = tuple(mass * gk for gk in g)
+    if gravity_scale is not None:
+        Fg = tuple(mass * gk * gravity_scale[None, :] for gk in g)
+    else:
+        Fg = tuple(mass * gk for gk in g)
     tau_g = _cross(c_off, Fg)
     ft_a = tuple(f - t for f, t in zip(fb_a, tau_g))
     ft_l = tuple(f - t for f, t in zip(fb_l, Fg))
@@ -280,6 +291,12 @@ def compute_dynamics_batch_last(model: M.Model, states, kin, dt: float):
     Fd_a = tuple(_mm(At, c) for c in ft_a)
     Fd_l = tuple(_mm(At, c) for c in ft_l)
     bias = sum(p_ * f_ for p_, f_ in zip(phi_a + phi_l, Fd_a + Fd_l))
+
+    # per-env mass scaling: M (pre-armature) and the bias are both linear in
+    # the body inertias, so a whole-actor mass multiplier is one broadcast
+    if mass_scale is not None:
+        M_bl = M_bl * mass_scale[None, None, :]
+        bias = bias * mass_scale[None, :]
 
     # --- armature + SPD implicit damping on the diagonal ---
     rd = model.root_dofs

@@ -25,7 +25,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ase_tpu.ops import linalg3
+from ase_tpu.ops import linalg3, pallas_chol
 from ase_tpu.ops import quat as rot
 from ase_tpu.physics import (
     collision2,
@@ -83,6 +83,21 @@ def _chol_batched(Mb: jnp.ndarray) -> jnp.ndarray:
     return _chol_batch_last(A)
 
 
+def _chol_from_batch_last(A: jnp.ndarray) -> jnp.ndarray:
+    """Factor a batch-last (n, n, B) SPD stack; returns L as (B, n, n).
+
+    Applies the same fallbacks as `_chol_batched` (lax cholesky for n>64 or
+    B<64, and the ASE_TPU_LAX_CHOL escape hatch) so the flag and the tiny-
+    batch path work on the production substep too.
+    """
+    n, B = A.shape[0], A.shape[-1]
+    if n > 64 or B < 64 or os.environ.get("ASE_TPU_LAX_CHOL", "0") == "1":
+        return jax.lax.linalg.cholesky(
+            jnp.transpose(A, (2, 0, 1)), symmetrize_input=False
+        )
+    return _chol_batch_last(A)
+
+
 def _chol_batch_last(A: jnp.ndarray) -> jnp.ndarray:
     """Right-looking Cholesky on (n, n, B); returns L as (B, n, n)."""
     n = A.shape[0]
@@ -106,7 +121,8 @@ def _chol_solve_batched(L: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
 
 
 def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
-                     actions: jnp.ndarray, friction_scale, gain_scale):
+                     actions: jnp.ndarray, friction_scale, gain_scale,
+                     mass_scale=None, gravity_scale=None):
     h = cfg.dt / cfg.substeps
     nu = model.nu
     Bn = actions.shape[0]
@@ -118,9 +134,16 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
         )(states, kin)
         M_bl = jnp.transpose(dyn_ref.Mmat, (1, 2, 0))
         bias, Phi = dyn_ref.bias, dyn_ref.Phi
+        if mass_scale is not None:
+            # A/B debug path: post-hoc scaling also touches the armature
+            # diagonal (negligible vs body inertias); the default batch-last
+            # path scales exactly (pre-armature, inside dynamics2)
+            M_bl = M_bl * mass_scale[None, None, :]
+            bias = bias * mass_scale[:, None]
     else:
         M_bl, bias, Phi = dynamics2.compute_dynamics_batch_last(
-            model, states, kin, h
+            model, states, kin, h,
+            mass_scale=mass_scale, gravity_scale=gravity_scale,
         )
     Amask = jnp.asarray(dynamics.ancestor_mask(model))
 
@@ -134,11 +157,6 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
     )(states)
     tau_full = jnp.zeros((Bn, nu)).at[:, model.root_dofs :].set(tau)
 
-    # forward dynamics: batched Cholesky solve
-    L = _chol_batch_last(M_bl)
-    qdd = _chol_solve_batched(L, (tau_full - bias)[..., None])[..., 0]
-    u_art = states.u[:, :nu] + h * qdd
-
     # free props: gravity + gyroscopic terms (batched closed form)
     prop_R = rot.quat_to_rotation_matrix(states.prop_quat)   # (B, np, 3, 3)
     if model.num_props > 0:
@@ -151,11 +169,9 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
         Iww = _einsum("bpij,bpj->bpi", I_w, w)
         wdot = linalg3.solve3(I_w, -jnp.cross(w, Iww))
         w = (w + h * wdot) / (1.0 + h * model.ang_damping)
-        u_free = jnp.concatenate(
-            [u_art, jnp.concatenate([v, w], axis=-1).reshape(Bn, -1)], axis=-1
-        )
+        u_free_prop = jnp.concatenate([v, w], axis=-1).reshape(Bn, -1)
     else:
-        u_free = u_art
+        u_free_prop = None
 
     # contacts: SoA batched narrow-phase (TPU lane-dense layout); the vmapped
     # AoS path is kept behind ASE_TPU_COLLISION_AOS=1 for A/B validation
@@ -179,25 +195,64 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
         and os.environ.get("ASE_TPU_CONTACT_AOS", "0") != "1"
     )
     if use_cg:
-        # component-grouped pipeline: JT is born in the layout the W solve
-        # and Delassus assembly consume (no (B,K,3,nu) padded intermediates)
+        # component-grouped Z-form pipeline. Key identity: with Z = L^{-1}J^T
+        # the Delassus operator is A = Z^T Z and the free contact velocity is
+        # J u_free = J u + h Z^T y0 (y0 = L^{-1}(tau - bias)) — so the whole
+        # contact solve needs ONE forward triangular solve up front and ONE
+        # m=1 backward solve at the end (u_new = u + L^{-T}(h y0 + Z lam)),
+        # instead of full two-sided solves for qdd and W. Factor + forward
+        # substitution run fused in a single VMEM-resident Pallas kernel
+        # (ops/pallas_chol.py) on TPU.
         JT = solver2.contact_jacobian_t(
             model, contacts, Phi, Amask, states.root_pos, states.prop_pos
         )                                                              # (B, nv, 3K)
-        W_art = _chol_solve_batched(L, JT[:, :nu, :])                  # (B, nu, 3K)
+        nc3 = JT.shape[-1]
+        rhs_bl = jnp.concatenate(
+            [
+                (tau_full - bias).T[:, None, :],                       # (nu, 1, B)
+                jnp.transpose(JT[:, :nu, :], (1, 2, 0)),               # (nu, 3K, B)
+            ],
+            axis=1,
+        )
+        L_bl, Y = pallas_chol.chol_forward(M_bl, rhs_bl)
+        y0 = Y[:, 0, :]                                                # (nu, B)
+        Z = Y[:, 1:, :]                                                # (nu, 3K, B)
+
+        A = _einsum("vib,vjb->bij", Z, Z)                              # Delassus
+        v0f = (
+            _einsum("bvi,bv->bi", JT[:, :nu, :], states.u[:, :nu])
+            + h * _einsum("vib,vb->bi", Z, y0)
+        )
         if model.num_props > 0:
             Jp = JT[:, nu:, :].reshape(Bn, model.num_props, 6, -1)
             lin = Jp[:, :, 0:3, :] / model.mass[None, model.nb :, None, None]
             I_w_inv = linalg3.inv3(I_w)
             ang = _einsum("bpij,bpjm->bpim", I_w_inv, Jp[:, :, 3:6, :])
-            W_prop = jnp.concatenate([lin, ang], axis=2).reshape(Bn, -1, JT.shape[-1])
-            W = jnp.concatenate([W_art, W_prop], axis=1)
+            W_prop = jnp.concatenate([lin, ang], axis=2).reshape(Bn, -1, nc3)
+            JT_prop = JT[:, nu:, :]
+            A = A + _einsum("bvi,bvj->bij", JT_prop, W_prop)
+            v0f = v0f + _einsum("bvi,bv->bi", JT_prop, u_free_prop)
+
+        lam_f = solver2.jacobi_lambda(contacts, A, v0f, h, cfg.solver)
+
+        du_bl = (h * y0 + _einsum("vib,bi->vb", Z, lam_f))[:, None, :]  # (nu,1,B)
+        u_art_new = states.u[:, :nu] + pallas_chol.back_solve(L_bl, du_bl)[:, 0, :].T
+        if model.num_props > 0:
+            u_prop_new = u_free_prop + _einsum("bvj,bj->bv", W_prop, lam_f)
+            u_new = jnp.concatenate([u_art_new, u_prop_new], axis=-1)
         else:
-            W = W_art
-        u_new, lam, body_forces = solver2.solve_batched_t(
-            model, contacts, JT, W, u_free, h, cfg.solver
-        )
+            u_new = u_art_new
+        body_forces = solver2.body_forces_from_lambda(model, contacts, lam_f, h)
     else:
+        # AoS A/B validation path: classic two-sided solves (qdd, then W)
+        L = _chol_from_batch_last(M_bl)
+        qdd = _chol_solve_batched(L, (tau_full - bias)[..., None])[..., 0]
+        u_art = states.u[:, :nu] + h * qdd
+        u_free = (
+            jnp.concatenate([u_art, u_free_prop], axis=-1)
+            if model.num_props > 0 else u_art
+        )
+
         J = jax.vmap(
             lambda c, phi, o, pp: solver.contact_jacobian(model, c, phi, Amask, o, pp)
         )(contacts, Phi, states.root_pos, states.prop_pos)
@@ -275,11 +330,13 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
 
 
 def step_batched(model: M.Model, cfg: SimConfig, tables, states: State,
-                 actions: jnp.ndarray, friction_scale=None, gain_scale=None) -> StepOut:
+                 actions: jnp.ndarray, friction_scale=None, gain_scale=None,
+                 mass_scale=None, gravity_scale=None) -> StepOut:
     """Advance one sim tick (cfg.substeps solver substeps), batched envs.
 
-    friction_scale/gain_scale are per-env domain-randomization multipliers
-    (reference base_task.py apply_randomizations property scaling)."""
+    friction/gain/mass/gravity_scale are per-env domain-randomization
+    multipliers (reference base_task.py:306-386 apply_randomizations:
+    rigid_shape friction, dof stiffness, rigid_body mass, sim gravity)."""
     B = actions.shape[0]
     if friction_scale is None:
         friction_scale = jnp.ones(B)
@@ -289,7 +346,8 @@ def step_batched(model: M.Model, cfg: SimConfig, tables, states: State,
     def body(carry, _):
         st, _, _ = carry
         st, forces, tau = _substep_batched(
-            model, cfg, tables, st, actions, friction_scale, gain_scale
+            model, cfg, tables, st, actions, friction_scale, gain_scale,
+            mass_scale=mass_scale, gravity_scale=gravity_scale,
         )
         return (st, forces, tau), None
 

@@ -29,7 +29,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ase_tpu.ops import linalg3, pallas_solver
+from ase_tpu.ops import jacobi_solver, linalg3
 from ase_tpu.ops import spatial as sp
 from ase_tpu.physics import model as M
 from ase_tpu.physics.collision import Contacts
@@ -218,8 +218,8 @@ def solve_batched(
     dt: float,
     cfg: SolverConfig,
 ):
-    """Batched contact solve; Jacobi iterations run in a fused Pallas kernel
-    on TPU (ops/pallas_solver.py). Returns (u_new, lam (B,K,3), body_forces)."""
+    """Batched contact solve (AoS A/B path); Jacobi iterations via
+    ops/jacobi_solver.py. Returns (u_new, lam (B,K,3), body_forces)."""
     B, K = contacts.depth.shape
     nv = J.shape[-1]
 
@@ -256,7 +256,7 @@ def solve_batched(
         # that would inject impulse_cap_velocity through its own diagonal
         lam_cap = cfg.impulse_cap_velocity / jnp.maximum(diag[..., 0, 0], 1e-3)
         A_it = A.astype(jnp.bfloat16) if cfg.matvec_bf16 else A
-        lam = pallas_solver.solve_jacobi(
+        lam = jacobi_solver.solve_jacobi(
             A_it, v0, target, diag_inv, mu, active, cfg.iterations,
             cfg.relaxation, lam_cap,
         )

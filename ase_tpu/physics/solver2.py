@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ase_tpu.ops import pallas_solver
 from ase_tpu.physics import model as M
 from ase_tpu.physics.collision import Contacts
 from ase_tpu.physics.solver import SolverConfig
@@ -148,20 +147,39 @@ def solve_batched_t(
 ):
     """Contact solve in component-grouped layout. Returns
     (u_new (B, nv), lam (B, K, 3), body_forces (B, nb+np, 3))."""
+    A = _einsum("bvi,bvj->bij", JT, W)
+    v0f = _einsum("bvi,bv->bi", JT, u_free)              # (B, 3K) cg order
+    lam_f = jacobi_lambda(contacts, A, v0f, dt, cfg)
+    u_new = u_free + _einsum("bvj,bj->bv", W, lam_f)
+    body_forces = body_forces_from_lambda(model, contacts, lam_f, dt)
+    K = contacts.depth.shape[1]
+    lam = jnp.stack(
+        [lam_f[:, :K], lam_f[:, K : 2 * K], lam_f[:, 2 * K :]], axis=-1
+    )
+    return u_new, lam, body_forces
+
+
+def jacobi_lambda(
+    contacts: Contacts,      # batched (B, K, ...)
+    A: jnp.ndarray,          # (B, 3K, 3K) Delassus, component-grouped
+    v0f: jnp.ndarray,        # (B, 3K) free contact-frame velocities
+    dt: float,
+    cfg: SolverConfig,
+):
+    """Block-Jacobi Coulomb iteration on a precomputed Delassus operator.
+    Returns the converged impulse vector lam (B, 3K), component-grouped."""
     B, K = contacts.depth.shape
 
     n_ok = jnp.abs(jnp.sum(jnp.square(contacts.normal), axis=-1) - 1.0) < 0.1
     active = ((contacts.depth > 0.0) & n_ok).astype(jnp.float32)
     mu = contacts.friction * active
 
-    A = _einsum("bvi,bvj->bij", JT, W)
     A = A + cfg.regularization * jnp.eye(3 * K)[None]
 
     v_bias = jnp.minimum(
         cfg.baumgarte / dt * jnp.maximum(contacts.depth - cfg.slop, 0.0),
         cfg.max_depenetration_velocity,
     )
-    v0f = _einsum("bvi,bv->bi", JT, u_free)              # (B, 3K) cg order
 
     # 3x3 diagonal blocks from the component-grouped A
     A5 = A.reshape(B, 3, K, 3, K)
@@ -200,10 +218,15 @@ def solve_batched_t(
             [ln * active, l1 * scale * active, l2 * scale * active], axis=1
         )
 
-    lam_f = jax.lax.fori_loop(0, cfg.iterations, body, jnp.zeros((B, 3 * K)))
-    u_new = u_free + _einsum("bvj,bj->bv", W, lam_f)
+    return jax.lax.fori_loop(0, cfg.iterations, body, jnp.zeros((B, 3 * K)))
 
-    # world-frame per-body contact forces via one-hot MXU scatters
+
+def body_forces_from_lambda(model: M.Model, contacts: Contacts,
+                            lam_f: jnp.ndarray, dt: float) -> jnp.ndarray:
+    """World-frame per-body contact forces via one-hot MXU scatters."""
+    K = contacts.depth.shape[1]
+    n_ok = jnp.abs(jnp.sum(jnp.square(contacts.normal), axis=-1) - 1.0) < 0.1
+    active = ((contacts.depth > 0.0) & n_ok).astype(jnp.float32)
     n, t1, t2 = _basis_comps(contacts.normal)
     ln, l1, l2 = lam_f[:, :K], lam_f[:, K : 2 * K], lam_f[:, 2 * K :]
     f = tuple((ln * nk + l1 * t1k + l2 * t2k) / dt for nk, t1k, t2k in zip(n, t1, t2))
@@ -212,9 +235,6 @@ def solve_batched_t(
     oh_a = (contacts.body_a[..., None] == ar).astype(jnp.float32) * active[..., None]
     oh_b = (contacts.body_b[..., None] == ar).astype(jnp.float32) * active[..., None]
     oh = oh_a - oh_b                                     # (B, K, nbp)
-    body_forces = jnp.stack(
+    return jnp.stack(
         [_einsum("bkc,bk->bc", oh, fk) for fk in f], axis=-1
     )                                                    # (B, nbp, 3)
-
-    lam = jnp.stack([ln, l1, l2], axis=-1)               # (B, K, 3)
-    return u_new, lam, body_forces

@@ -57,6 +57,11 @@ def main(argv=None):
         player.run(num_steps=cfg["env"]["episodeLength"])
         return
 
+    # multi-chip data parallelism (reference --horovod, run.py:36-50): shard
+    # envs over every local device; XLA inserts the grad/stat all-reduces
+    if args.horovod or args.multi_gpu:
+        agent.setup_mesh()
+
     writer = None
     try:
         from torch.utils.tensorboard import SummaryWriter
@@ -65,7 +70,12 @@ def main(argv=None):
     except Exception:
         pass
 
-    agent.train(writer=writer)
+    # training resume (reference config.py:97-104): --resume 1 --checkpoint <p>
+    restore_path = None
+    if args.resume and args.checkpoint not in ("", "Base"):
+        restore_path = args.checkpoint
+
+    agent.train(writer=writer, restore_path=restore_path)
 
 
 if __name__ == "__main__":

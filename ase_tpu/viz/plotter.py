@@ -58,7 +58,14 @@ def plot_skeleton_motion(
     fps: float = 30.0,
     save_path: Optional[str] = None,
 ):
-    """Animate a motion; optionally save to mp4/gif (requires ffmpeg/pillow)."""
+    """Animate a motion; optionally save to mp4/gif (requires ffmpeg/pillow).
+
+    Interactive playback controls (reference
+    ``poselib/visualization/common.py:8-182`` keyboard parity):
+      space  pause/resume        r  restart
+      ←/→    scrub ±1 frame      ↑/↓  scrub ±10 frames
+      q      close
+    """
     plt = _require_matplotlib()
     from matplotlib import animation
 
@@ -77,13 +84,47 @@ def plot_skeleton_motion(
     ax.set_xlim(center[0] - 2, center[0] + 2)
     ax.set_ylim(center[1] - 2, center[1] + 2)
     ax.set_zlim(0, 2.2)
+    title = ax.set_title("")
 
-    def update(f):
+    state = {"frame": 0, "paused": False}
+
+    def draw(f):
+        f = int(f) % T
         for (j, p, ln) in lines:
             seg = np.stack([gts[f, p], gts[f, j]])
             ln.set_data(seg[:, 0], seg[:, 1])
             ln.set_3d_properties(seg[:, 2])
+        title.set_text(f"frame {f}/{T - 1}" + ("  [paused]" if state["paused"] else ""))
         return [ln for (_, _, ln) in lines]
+
+    def update(_):
+        if not state["paused"]:
+            state["frame"] = (state["frame"] + 1) % T
+        return draw(state["frame"])
+
+    def on_key(event):
+        k = event.key
+        if k == " ":
+            state["paused"] = not state["paused"]
+        elif k == "right":
+            state["paused"] = True
+            state["frame"] = (state["frame"] + 1) % T
+        elif k == "left":
+            state["paused"] = True
+            state["frame"] = (state["frame"] - 1) % T
+        elif k == "up":
+            state["paused"] = True
+            state["frame"] = (state["frame"] + 10) % T
+        elif k == "down":
+            state["paused"] = True
+            state["frame"] = (state["frame"] - 10) % T
+        elif k == "r":
+            state["frame"] = 0
+        elif k == "q":
+            plt.close(event.canvas.figure)
+            return
+        draw(state["frame"])
+        event.canvas.draw_idle()
 
     anim = animation.FuncAnimation(
         fig, update, frames=T, interval=1000.0 / fps, blit=False
@@ -91,12 +132,16 @@ def plot_skeleton_motion(
     if save_path:
         anim.save(save_path, fps=int(fps))
     else:
+        fig.canvas.mpl_connect("key_press_event", on_key)
         plt.show()
     return anim
 
 
 def plot_env_state(env, env_state, env_id: int = 0, ax=None, show: bool = True):
-    """Draw the current simulated pose of one env (body positions)."""
+    """Draw the current simulated pose of one env (body positions) plus the
+    task markers the reference renders as marker actors: heading/facing
+    arrows (``tar_dir``/``tar_facing_dir``), location/reach/strike targets
+    (``tar_pos``)."""
     plt = _require_matplotlib()
     pos = np.asarray(env_state.body_pos[env_id])
     if ax is None:
@@ -107,6 +152,24 @@ def plot_env_state(env, env_state, env_id: int = 0, ax=None, show: bool = True):
             seg = np.stack([pos[p], pos[b]])
             ax.plot(seg[:, 0], seg[:, 1], seg[:, 2], "g-")
     ax.scatter(pos[:, 0], pos[:, 1], pos[:, 2], c="k", s=8)
+
+    aux = getattr(env_state, "aux", {}) or {}
+    root = pos[0]
+    if "tar_dir" in aux:
+        d = np.asarray(aux["tar_dir"][env_id])
+        ax.quiver(root[0], root[1], 0.05, d[0], d[1], 0.0,
+                  length=1.0, color="tab:orange", label="tar_dir")
+    if "tar_facing_dir" in aux:
+        d = np.asarray(aux["tar_facing_dir"][env_id])
+        ax.quiver(root[0], root[1], 0.05, d[0], d[1], 0.0,
+                  length=0.6, color="tab:purple", label="tar_facing_dir")
+    if "tar_pos" in aux:
+        t = np.asarray(aux["tar_pos"][env_id])
+        z = t[2] if t.shape[-1] > 2 else 0.0
+        ax.scatter([t[0]], [t[1]], [z], c="tab:red", s=60, marker="*",
+                   label="tar_pos")
+    if any(k in aux for k in ("tar_dir", "tar_facing_dir", "tar_pos")):
+        ax.legend(loc="upper right")
     if show:
         plt.show()
     return ax

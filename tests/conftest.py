@@ -24,5 +24,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache: the suite re-jits the same module shapes
+# across files/runs; caching cuts repeat wall-clock dramatically.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() >= 8, jax.devices()

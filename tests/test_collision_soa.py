@@ -8,11 +8,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ase_tpu.ops import linalg3
-from ase_tpu.ops import pallas_solver as ps
+from ase_tpu.ops import jacobi_solver as ps
 from ase_tpu.ops import quat as rot
 from ase_tpu.physics import collision2, collision3, dynamics, engine, mjcf
 
-ASSET = "/root/reference/ase/data/assets/mjcf/amp_humanoid_sword_shield.xml"
+import os as _os
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+
+ASSET = _REPO + "/data/assets/mjcf/amp_humanoid_sword_shield.xml"
 
 
 def _random_states(m, B, seed=3):

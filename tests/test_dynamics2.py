@@ -9,9 +9,12 @@ import pytest
 from ase_tpu.ops import quat as rot
 from ase_tpu.physics import dynamics, dynamics2, engine, mjcf
 
+import os as _os
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+
 ASSETS = [
-    "/root/reference/ase/data/assets/mjcf/amp_humanoid_sword_shield.xml",
-    "/root/reference/ase/data/assets/mjcf/amp_humanoid.xml",
+    _REPO + "/data/assets/mjcf/amp_humanoid_sword_shield.xml",
+    _REPO + "/data/assets/mjcf/amp_humanoid.xml",
 ]
 
 

@@ -87,6 +87,31 @@ def test_reset_done_masked(amp_env):
     )
 
 
+def test_reset_advances_rng_and_aux(amp_env):
+    """Regression: reset_done must carry the advanced PRNG and reset aux
+    (reset_ref_mask / motion ids) out of the masked merge. Round-1 bug:
+    _masked_merge_phys returned the pre-reset state's rng/aux, freezing the
+    env RNG (every reset re-sampled the same motion pose) and dropping the
+    ref-init bookkeeping the AMP history init depends on."""
+    state = amp_env.initial_state(jax.random.PRNGKey(5))
+    state = state.replace(reset_buf=jnp.ones(4, jnp.int32))
+    reset = jax.jit(amp_env.reset_done)
+    s2 = reset(state)
+    # the PRNG advanced (reset consumed randomness)
+    assert not np.array_equal(np.asarray(state.rng), np.asarray(s2.rng))
+    # ref-init bookkeeping propagated (stateInit=Random -> all envs ref-init)
+    assert bool(jnp.all(s2.aux["reset_ref_mask"]))
+    # two successive resets of the same env sample different motion states
+    s3 = reset(s2.replace(reset_buf=jnp.ones(4, jnp.int32)))
+    assert not np.allclose(
+        np.asarray(s2.phys.root_pos), np.asarray(s3.phys.root_pos)
+    )
+    # AMP history for ref-init envs comes from the clip, not a repeat of the
+    # current frame (rows must differ across the window)
+    buf = np.asarray(s2.aux["amp_obs"])
+    assert not np.allclose(buf[:, 0], buf[:, 5])
+
+
 def test_fetch_amp_obs_demo(amp_env):
     demo = amp_env.fetch_amp_obs_demo(jax.random.PRNGKey(4), 8)
     assert demo.shape == (8, 1400)

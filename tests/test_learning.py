@@ -131,6 +131,98 @@ def test_ase_agent_trains():
     np.testing.assert_allclose(np.linalg.norm(z, axis=-1), 1.0, atol=1e-4)
 
 
+def test_replay_buffer_partial_fill_uniform():
+    """While partially full, cursor sampling must stay within the valid
+    region and cover it uniformly (round-1: perm % limit biased low rows)."""
+    cap, limit = 16, 6
+    buf = ReplayBuffer.create(cap, 1)
+    buf = buf.store(jnp.arange(limit, dtype=jnp.float32)[:, None])
+    counts = np.zeros(cap)
+    for i in range(60):
+        buf, rows = buf.sample_cursor(jax.random.PRNGKey(i), 8)
+        vals = np.asarray(rows)[:, 0].astype(int)
+        assert vals.max() < limit  # never an unwritten slot
+        np.add.at(counts, vals, 1)
+    # roughly uniform over the 6 stored rows (480 draws, expect 80 each)
+    assert counts[:limit].min() > 40, counts[:limit]
+
+
+def test_windowed_game_meters():
+    """Meters match an explicit last-K-games rolling window."""
+    env = parse_task("HumanoidAMP", make_cfg())
+    cfg = copy.deepcopy(TRAIN_CFG)
+    cfg["params"]["config"]["games_to_track"] = 4
+    agent = AMPAgent(env, cfg)
+    ts = agent.init_train_state(jax.random.PRNGKey(0))
+    extra = ts.extra
+
+    rng = np.random.RandomState(0)
+    finished = []  # (reward_sum, length) per finished game, in order
+    cur_r = np.zeros(4)
+    cur_l = np.zeros(4)
+    for step in range(30):
+        rewards = rng.randn(4).astype(np.float32)
+        dones = (rng.rand(4) < 0.3).astype(np.float32)
+        extra = agent._update_game_meters(
+            extra, jnp.asarray(rewards), jnp.asarray(dones)
+        )
+        cur_r += rewards
+        cur_l += 1.0
+        for i in range(4):
+            if dones[i]:
+                finished.append((cur_r[i], cur_l[i]))
+                cur_r[i] = 0.0
+                cur_l[i] = 0.0
+    window = finished[-4:]
+    assert len(finished) >= 4
+    got_mean = float(jnp.sum(extra["game_rewards_buf"])) / 4.0
+    want_mean = np.mean([r for r, _ in window])
+    np.testing.assert_allclose(got_mean, want_mean, rtol=1e-5)
+    got_len = float(jnp.sum(extra["game_lengths_buf"])) / 4.0
+    np.testing.assert_allclose(got_len, np.mean([l for _, l in window]), rtol=1e-5)
+    assert int(extra["game_total"]) == len(finished)
+
+
+def test_resume_continues_identically(tmp_path):
+    """3 epochs + save + restore + 3 epochs == 6 uninterrupted epochs
+    (full TrainState + env state round-trip through the checkpoint)."""
+    from ase_tpu.learning import checkpoint as ckpt
+
+    env = parse_task("HumanoidAMP", make_cfg())
+    agent = AMPAgent(env, copy.deepcopy(TRAIN_CFG))
+
+    # uninterrupted 6 epochs (train_epoch donates its args: rebuild fresh
+    # initial states per run; same keys -> identical values)
+    ts_a = agent.init_train_state(jax.random.PRNGKey(0))
+    env_a = env.initial_state(jax.random.PRNGKey(1))
+    for _ in range(6):
+        ts_a, env_a, metrics_a = agent.train_epoch(ts_a, env_a)
+
+    # 3 epochs, checkpoint, restore into fresh templates, 3 more
+    ts_b = agent.init_train_state(jax.random.PRNGKey(0))
+    env_b = env.initial_state(jax.random.PRNGKey(1))
+    for _ in range(3):
+        ts_b, env_b, _ = agent.train_epoch(ts_b, env_b)
+    ckpt.save(str(tmp_path / "ts.ckpt"), ts_b)
+    ckpt.save(str(tmp_path / "env.ckpt"), env_b)
+    ts_c = ckpt.restore(str(tmp_path / "ts.ckpt"), agent.init_train_state(jax.random.PRNGKey(9)))
+    env_c = ckpt.restore(str(tmp_path / "env.ckpt"), env.initial_state(jax.random.PRNGKey(9)))
+    assert int(ts_c.epoch) == 3
+    for _ in range(3):
+        ts_c, env_c, metrics_c = agent.train_epoch(ts_c, env_c)
+
+    ma = {k: v for k, v in jax.device_get(metrics_a).items() if np.ndim(v) == 0}
+    mc = {k: v for k, v in jax.device_get(metrics_c).items() if np.ndim(v) == 0}
+    assert int(ts_c.epoch) == int(ts_a.epoch) == 6
+    for k in ma:
+        np.testing.assert_allclose(ma[k], mc[k], rtol=1e-4, atol=1e-5, err_msg=k)
+    for x, y in zip(
+        jax.tree_util.tree_leaves(jax.device_get(ts_a.params)),
+        jax.tree_util.tree_leaves(jax.device_get(ts_c.params)),
+    ):
+        np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-6)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from ase_tpu.learning import checkpoint as ckpt
 

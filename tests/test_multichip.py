@@ -40,5 +40,61 @@ def test_sharded_train_epoch():
     ge.dryrun_multichip(8)
 
 
+def test_epoch_parity_1dev_vs_8dev():
+    """A full AMP train epoch at realistic size (256 envs, horizon 16) gives
+    the same metrics and parameters whether run on 1 device or sharded over
+    the 8-device mesh: SPMD partitioning must be semantics-preserving (up to
+    reduction reordering). minibatch == batch so the permutation order inside
+    the update is irrelevant."""
+    from ase_tpu.envs import parse_task
+    from ase_tpu.learning.amp_agent import AMPAgent
+    from tests.test_env import make_cfg
+    from tests.test_learning import TRAIN_CFG
+
+    cfg = make_cfg(numEnvs=256)
+    tcfg = copy.deepcopy(TRAIN_CFG)
+    c = tcfg["params"]["config"]
+    c.update({
+        "horizon_length": 16, "minibatch_size": 256 * 16, "mini_epochs": 1,
+        "amp_batch_size": 256, "amp_minibatch_size": 256 * 16,
+        "amp_obs_demo_buffer_size": 512, "amp_replay_buffer_size": 512,
+    })
+
+    env = parse_task("HumanoidAMP", cfg)
+    agent = AMPAgent(env, tcfg)
+
+    def run(mesh):
+        ts = agent.init_train_state(jax.random.PRNGKey(0))
+        env_state = env.initial_state(jax.random.PRNGKey(1))
+        if mesh is not None:
+            ts = mesh_lib.replicate_state(mesh, ts)
+            env_state = mesh_lib.shard_env_state(mesh, env_state)
+        ts, env_state, metrics = agent.train_epoch(ts, env_state)
+        return jax.device_get(ts), jax.device_get(metrics)
+
+    ts1, m1 = run(None)
+    agent._train_epoch_jit = None  # force re-jit with sharded inputs
+    ts8, m8 = run(mesh_lib.make_mesh(8))
+
+    for k in sorted(m1):
+        if np.ndim(m1[k]) == 0:
+            np.testing.assert_allclose(
+                np.asarray(m1[k]), np.asarray(m8[k]), rtol=2e-3, atol=1e-4,
+                err_msg=f"metric {k}",
+            )
+    # Adam normalizes each grad, so a float-reduction-reordering difference
+    # of ~1e-7 in a near-zero grad can move a weight by up to ~lr per
+    # minibatch step; compare with an absolute tolerance of a few lr
+    # (lr=2e-4, 2 updates in this epoch).
+    lr = float(c["learning_rate"])
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(ts1.params)[0],
+        jax.tree_util.tree_flatten_with_path(ts8.params)[0],
+    ):
+        np.testing.assert_allclose(
+            a, b, atol=5 * lr, err_msg=jax.tree_util.keystr(pa)
+        )
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])

@@ -12,7 +12,10 @@ import pytest
 from ase_tpu.physics import dynamics, engine, mjcf
 from ase_tpu.physics import model as M
 
-ASSET = "/root/reference/ase/data/assets/mjcf/amp_humanoid_sword_shield.xml"
+import os as _os
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+
+ASSET = _REPO + "/data/assets/mjcf/amp_humanoid_sword_shield.xml"
 
 
 @pytest.fixture(scope="module")

@@ -12,6 +12,9 @@ import pytest
 from ase_tpu.ops import quat as rot
 from ase_tpu.physics import engine, mjcf, solver
 
+import os as _os
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+
 ASSETS = [
     ("amp_humanoid_sword_shield.xml", 0.89),
     ("amp_humanoid.xml", 0.85),
@@ -20,7 +23,7 @@ ASSETS = [
 
 @pytest.mark.parametrize("asset,z", ASSETS)
 def test_cg_contact_pipeline_matches_block(asset, z):
-    m = mjcf.load_mjcf(f"/root/reference/ase/data/assets/mjcf/{asset}")
+    m = mjcf.load_mjcf(_REPO + f"/data/assets/mjcf/{asset}")
     cfg = engine.SimConfig(
         enable_self_collision=True,
         max_contacts=24,
