@@ -467,6 +467,11 @@ class CommonAgent:
         ts, dataset = self._prepare_dataset(ts, batch)
 
         roll_metrics = {"reward_mean": jnp.mean(batch["rewards"])}
+        # style/skill reward curves (reference logs disc_reward_mean /
+        # enc_reward_mean per epoch, amp_agent.py:297, ase_agent.py:470)
+        for k in ("disc_rewards", "enc_rewards"):
+            if k in batch:
+                roll_metrics[k[:-1] + "_mean"] = jnp.mean(batch[k])
         ts = ts.replace(epoch=ts.epoch + 1, frame=ts.frame + self.batch_size)
         ts = self._post_epoch(ts, batch)
         return ts, env_state, dataset, roll_metrics
