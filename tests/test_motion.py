@@ -11,7 +11,7 @@ from ase_tpu.motion import motion_lib as ml
 from ase_tpu.motion import retarget, skeleton as sk
 from ase_tpu.physics import dynamics, mjcf
 
-ASSET = "/root/reference/ase/data/assets/mjcf/amp_humanoid_sword_shield.xml"
+ASSET = "data/assets/mjcf/amp_humanoid_sword_shield.xml"
 CLIP = (
     "/root/reference/ase/data/motions/reallusion_sword_shield/"
     "RL_Avatar_Idle_Ready_Motion.npy"
