@@ -27,13 +27,15 @@ def save(path: str, state: Any, exclude: tuple = ()) -> None:
     substrings to skip (e.g. reconstructible device buffers — the reference
     .pth checkpoints don't persist the AMP demo/replay buffers either, and
     they dominate size: ~2.2 GB at the production buffer sizes)."""
-    leaves = jax.tree_util.tree_flatten_with_path(jax.device_get(state))[0]
-    arrays = {}
-    for p, v in leaves:
-        key = _leaf_key(p)
-        if any(x in key for x in exclude):
-            continue
-        arrays[key] = np.asarray(v)
+    # filter BEFORE device_get: excluded leaves (the ~2.2 GB demo/replay
+    # buffers) must never cross the host↔device link — fetching them over
+    # the TPU tunnel costs minutes per save
+    leaves = jax.tree_util.tree_flatten_with_path(state)[0]
+    kept = [(p, v) for p, v in leaves
+            if not any(x in _leaf_key(p) for x in exclude)]
+    fetched = jax.device_get([v for _, v in kept])
+    arrays = {_leaf_key(p): np.asarray(v)
+              for (p, _), v in zip(kept, fetched)}
     if not path.endswith(".npz"):
         path = path + ".npz"
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

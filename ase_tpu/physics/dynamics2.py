@@ -34,6 +34,15 @@ import jax
 _mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
 
+def _mm_multi(mat, comps):
+    """Apply one (m, n) matrix to k (n, B) component planes in a single
+    matmul: concat along lanes → (m, kB) → split. Collapses k small MXU
+    dispatches (and their layout copies) into one."""
+    k = len(comps)
+    out = _mm(mat, jnp.concatenate(comps, axis=1))
+    return tuple(jnp.split(out, k, axis=1))
+
+
 class _Static(NamedTuple):
     db_dyn: np.ndarray     # (nu,) owning body for inertia/position gathers
     db_rot: np.ndarray     # (nu,) rotation source; nb = identity (root dofs)
@@ -226,8 +235,8 @@ def compute_dynamics_batch_last(model: M.Model, states, kin, dt: float,
 
     # --- composite (subtree) inertias: static masked sums over bodies ---
     S = jnp.asarray(st.S)
-    TLc = tuple(_mm(S, t) for t in TL)
-    hc = tuple(_mm(S, t) for t in h)
+    Sc = _mm_multi(S, TL + h)
+    TLc, hc = Sc[:6], Sc[6:]
     msub = jnp.asarray(st.msub)[:, None]
 
     # --- F = Ic[body(d)] Phi(d); G/M assembly ---
@@ -256,10 +265,10 @@ def compute_dynamics_batch_last(model: M.Model, states, kin, dt: float,
     A_ = jnp.asarray(st.A)
     phiu_a = tuple(c * u for c in dphi_a)
     phiu_l = tuple(c * u for c in dphi_l)
-    ab_a = tuple(_mm(A_, c) for c in phiu_a)               # (nb, B) bias accel
-    ab_l = tuple(_mm(A_, c) for c in phiu_l)
-    vs_a = tuple(_mm(A_, c * u) for c in phi_a)          # body spatial velocity
-    vs_l = tuple(_mm(A_, c * u) for c in phi_l)
+    Ac = _mm_multi(A_, phiu_a + phiu_l
+                   + tuple(c * u for c in phi_a + phi_l))
+    ab_a, ab_l = Ac[0:3], Ac[3:6]                      # (nb, B) bias accel
+    vs_a, vs_l = Ac[6:9], Ac[9:12]                     # body spatial velocity
 
     # Iv = I_sp v  (per body, (m, h, I) form)
     Iv_a = tuple(s + c for s, c in zip(_sym_mv(TL, vs_a), _cross(h, vs_l)))
@@ -288,8 +297,8 @@ def compute_dynamics_batch_last(model: M.Model, states, kin, dt: float,
     ft_l = tuple(f - t for f, t in zip(fb_l, Fg))
 
     At = jnp.asarray(st.A.T)                           # (nu, nb)
-    Fd_a = tuple(_mm(At, c) for c in ft_a)
-    Fd_l = tuple(_mm(At, c) for c in ft_l)
+    Fd = _mm_multi(At, ft_a + ft_l)
+    Fd_a, Fd_l = Fd[:3], Fd[3:]
     bias = sum(p_ * f_ for p_, f_ in zip(phi_a + phi_l, Fd_a + Fd_l))
 
     # per-env mass scaling: M (pre-armature) and the bias are both linear in

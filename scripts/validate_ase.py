@@ -105,6 +105,10 @@ def run(args):
         if args.ckpt_out and (epoch + 1) % max(args.epochs // 3, 1) == 0:
             os.makedirs(os.path.dirname(args.ckpt_out), exist_ok=True)
             ckpt.save(args.ckpt_out, ts, exclude=agent._ckpt_exclude())
+        if epoch % 50 == 49:  # crash-safe incremental curve dump
+            with open(os.path.join(
+                    root, f"docs/validation_{args.mode}_history.json"), "w") as f:
+                json.dump(history, f)
 
     wall = time.time() - t_start
     if args.ckpt_out:
