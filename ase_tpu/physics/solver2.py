@@ -161,30 +161,44 @@ def solve_batched_t(
 
 def jacobi_lambda(
     contacts: Contacts,      # batched (B, K, ...)
-    A: jnp.ndarray,          # (B, 3K, 3K) Delassus, component-grouped
+    A: jnp.ndarray,          # (B, 3K, 3K) Delassus, component-grouped (no reg)
     v0f: jnp.ndarray,        # (B, 3K) free contact-frame velocities
     dt: float,
     cfg: SolverConfig,
 ):
     """Block-Jacobi Coulomb iteration on a precomputed Delassus operator.
-    Returns the converged impulse vector lam (B, 3K), component-grouped."""
+    Returns the converged impulse vector lam (B, 3K), component-grouped.
+
+    The Tikhonov regularization is folded into the iteration residual
+    (``r += reg*lam``) instead of materializing ``A + reg*I`` — the add was a
+    full (B, 3K, 3K) layout copy on TPU. Under bf16 iteration the diagonal
+    preconditioner blocks are also read from the bf16 operator: this leaves
+    the bf16 convert as f32 A's ONLY consumer, so XLA fuses the convert into
+    the Delassus einsum (single half-width write), and the whole-operator
+    transpose that block extraction costs runs on half the bytes. D only
+    scales/clamps the per-block updates, so bf16 rounding (~0.4% relative)
+    perturbs the iteration path, not the fixed point it projects onto.
+    """
     B, K = contacts.depth.shape
 
     n_ok = jnp.abs(jnp.sum(jnp.square(contacts.normal), axis=-1) - 1.0) < 0.1
     active = ((contacts.depth > 0.0) & n_ok).astype(jnp.float32)
     mu = contacts.friction * active
 
-    A = A + cfg.regularization * jnp.eye(3 * K)[None]
+    reg = cfg.regularization
 
     v_bias = jnp.minimum(
         cfg.baumgarte / dt * jnp.maximum(contacts.depth - cfg.slop, 0.0),
         cfg.max_depenetration_velocity,
     )
 
-    # 3x3 diagonal blocks from the component-grouped A
-    A5 = A.reshape(B, 3, K, 3, K)
-    Dblk = jnp.diagonal(A5, axis1=2, axis2=4)            # (B, 3, 3, K)
-    D = [[Dblk[:, i, j] + (1e-5 if i == j else 0.0) for j in range(3)] for i in range(3)]
+    A_it = A.astype(jnp.bfloat16) if cfg.matvec_bf16 else A
+
+    # 3x3 diagonal blocks of the regularized operator (from the iteration
+    # matrix — see docstring)
+    A5 = A_it.reshape(B, 3, K, 3, K)
+    dblk = jnp.diagonal(A5, axis1=2, axis2=4).astype(jnp.float32)  # (B,3,3,K)
+    D = [[dblk[:, i, j] + (reg + 1e-5 if i == j else 0.0) for j in range(3)] for i in range(3)]
     Dinv = _inv3_comps(D)
 
     active = active * (D[0][0] > 1e-4).astype(jnp.float32)
@@ -192,7 +206,6 @@ def jacobi_lambda(
     lam_cap = cfg.impulse_cap_velocity / jnp.maximum(D[0][0], 1e-3)
 
     omega = cfg.relaxation
-    A_it = A.astype(jnp.bfloat16) if cfg.matvec_bf16 else A
     mv_kw = (
         dict(preferred_element_type=jnp.float32)
         if A_it.dtype == jnp.bfloat16
@@ -200,7 +213,7 @@ def jacobi_lambda(
     )
 
     def body(_, lam):
-        r = v0f + jnp.einsum(
+        r = v0f + reg * lam + jnp.einsum(
             "bij,bj->bi", A_it, lam.astype(A_it.dtype), **mv_kw
         ).astype(jnp.float32)
         en = v_bias - r[:, :K]
