@@ -52,7 +52,13 @@ def restore(path: str, template: Any, prefix: str = "", strict: bool = True) -> 
     """Load leaves matching `prefix` into the structure of `template`.
 
     Template leaf paths are matched against checkpoint keys after stripping
-    `prefix` from the checkpoint side. Shapes must match.
+    `prefix` from the checkpoint side. With ``strict`` (training resume),
+    missing keys and shape mismatches raise. Non-strict (player/eval
+    restore, reference rl_games set_weights semantics: weights + normalizers
+    only) keeps the template value for missing keys AND for leaves whose
+    shape depends on the env batch (e.g. per-env `ase_latents`,
+    `cur_rewards`) — a checkpoint trained at 4096 envs must evaluate at any
+    env count.
     """
     data = load_dict(path)
     leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
@@ -66,7 +72,12 @@ def restore(path: str, template: Any, prefix: str = "", strict: bool = True) -> 
             continue
         arr = data[key]
         if hasattr(v, "shape") and tuple(np.shape(v)) != tuple(arr.shape):
-            raise ValueError(f"{key}: shape {arr.shape} != template {np.shape(v)}")
+            if strict:
+                raise ValueError(
+                    f"{key}: shape {arr.shape} != template {np.shape(v)}"
+                )
+            out.append(v)
+            continue
         out.append(arr)
     return jax.tree_util.tree_unflatten(treedef, [x for x in out])
 

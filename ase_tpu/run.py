@@ -41,6 +41,14 @@ def main(argv=None):
     from ase_tpu.utils import config as cfg_util
 
     args = cfg_util.get_args(argv)
+    if args.multi_host:
+        # Multi-host data parallelism: one process per host, all hosts join a
+        # global mesh. jax.distributed reads the coordinator/topology from
+        # the TPU runtime environment (or JAX_COORDINATOR_ADDRESS et al.) —
+        # the TPU-native replacement for the reference's MPI rank setup
+        # (reference run.py:36-50). Must run before any device access.
+        import jax
+        jax.distributed.initialize()
     cfg, cfg_train = cfg_util.load_cfg(args)
 
     env = parse_task(args.task, cfg, headless=args.headless)
@@ -59,7 +67,7 @@ def main(argv=None):
 
     # multi-chip data parallelism (reference --horovod, run.py:36-50): shard
     # envs over every local device; XLA inserts the grad/stat all-reduces
-    if args.horovod or args.multi_gpu:
+    if args.horovod or args.multi_gpu or args.multi_host:
         agent.setup_mesh()
 
     writer = None

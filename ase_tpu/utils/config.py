@@ -43,6 +43,9 @@ def get_args(argv=None) -> argparse.Namespace:
     p.add_argument("--headless", action="store_true", default=True)
     p.add_argument("--horovod", action="store_true", help="(compat) multi-chip data parallel")
     p.add_argument("--multi_gpu", action="store_true", help="Shard envs over all local devices")
+    p.add_argument("--multi_host", action="store_true",
+                   help="Initialize jax.distributed and shard envs over every "
+                        "device of every host (pod slices / multi-slice)")
     p.add_argument("--task", type=str, default="HumanoidAMP")
     p.add_argument("--cfg_env", type=str, default="humanoid_sword_shield.yaml")
     p.add_argument("--cfg_train", type=str, default="train/rlg/amp_humanoid.yaml")
