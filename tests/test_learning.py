@@ -238,5 +238,36 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(x, y)
 
 
+def test_player_restore_across_env_counts(tmp_path):
+    """A checkpoint trained at one env count must restore non-strictly into
+    an agent with a different env count (reference rl_games set_weights
+    semantics: weights + normalizers; per-env extras keep the template)."""
+    from ase_tpu.learning import checkpoint as ckpt
+
+    env = parse_task("HumanoidAMP", make_cfg(numEnvs=4))
+    agent = AMPAgent(env, copy.deepcopy(TRAIN_CFG))
+    ts = agent.init_train_state(jax.random.PRNGKey(0))
+    path = str(tmp_path / "trained.ckpt")
+    ckpt.save(path, ts)
+
+    env2 = parse_task("HumanoidAMP", make_cfg(numEnvs=8))
+    cfg2 = copy.deepcopy(TRAIN_CFG)
+    cfg2["params"]["config"]["minibatch_size"] = 16
+    agent2 = AMPAgent(env2, cfg2)
+    ts2_tpl = agent2.init_train_state(jax.random.PRNGKey(1))
+    ts2 = ckpt.restore(path, ts2_tpl, strict=False)
+
+    # weights came from the checkpoint
+    a = jax.tree_util.tree_leaves(jax.device_get(ts.params))
+    b = jax.tree_util.tree_leaves(jax.device_get(ts2.params))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    # per-env extras kept the (differently shaped) template
+    assert ts2.extra["cur_rewards"].shape == (8,)
+    # strict restore still refuses the mismatch
+    with pytest.raises(Exception):
+        ckpt.restore(path, ts2_tpl, strict=True)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
