@@ -60,8 +60,10 @@ class HumanoidAMP(Humanoid):
     # -- motion --------------------------------------------------------------
 
     def _load_motion(self, motion_file: str):
+        from ase_tpu.utils import paths
+
         self._motion_lib = ml.load_motion_lib(
-            motion_file,
+            paths.motion_file(motion_file),
             self.model.dof_body_ids,
             self.model.dof_offsets,
             [int(i) for i in self._key_body_ids.tolist()],

@@ -404,12 +404,13 @@ def box_prop(half_extents, density=30.0, friction=1.0) -> dict:
 
 def find_asset(asset_root: str, asset_file: str) -> str:
     """Resolve an asset path. The repo vendors its own assets under
-    data/assets/ (the framework is standalone); an explicit asset_root takes
-    precedence, and a mounted reference checkout is a last-resort fallback."""
+    data/assets/ (the framework is standalone; see data/assets/PROVENANCE.md);
+    an explicit existing asset_root takes precedence over the vendored tree."""
+    from ase_tpu.utils import paths
+
     cands = [
         os.path.join(asset_root, asset_file),
-        os.path.join(os.path.dirname(__file__), "../../data/assets", asset_file),
-        os.path.join("/root/reference/ase/data/assets", asset_file),
+        os.path.join(paths.asset_root(), asset_file),
     ]
     for c in cands:
         if os.path.exists(c):

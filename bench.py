@@ -28,17 +28,17 @@ def main():
     from ase_tpu.envs import parse_task
     from ase_tpu.learning.ase_agent import ASEAgent
 
+    from ase_tpu.utils import paths
+
     root = os.path.dirname(os.path.abspath(__file__))
     cfg = yaml.safe_load(open(os.path.join(root, "data/cfg/humanoid_ase_sword_shield_getup.yaml")))
     cfg["env"]["numEnvs"] = num_envs
-    cfg["env"]["motion_file"] = os.environ.get(
-        "BENCH_MOTION_FILE",
-        "/root/reference/ase/data/motions/reallusion_sword_shield/dataset_reallusion_sword_shield.yaml",
-    )
+    # The benchmark workload is the full 87-clip dataset (vendored). A missing
+    # dataset is an error, not a silent fallback to a lighter motion library.
+    cfg["env"]["motion_file"] = os.environ.get("BENCH_MOTION_FILE", paths.default_dataset())
     if not os.path.exists(cfg["env"]["motion_file"]):
-        cfg["env"]["motion_file"] = (
-            "/root/reference/ase/data/motions/reallusion_sword_shield/RL_Avatar_Idle_Ready_Motion.npy"
-        )
+        raise FileNotFoundError(
+            f"benchmark motion dataset missing: {cfg['env']['motion_file']}")
     cfg["env"]["enableSelfCollision"] = (
         os.environ.get("BENCH_SELF_COLLISION", "1") == "1"
     )

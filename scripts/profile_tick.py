@@ -35,9 +35,9 @@ def main():
     num_envs = int(os.environ.get("PROF_NUM_ENVS", 4096))
     cfg = yaml.safe_load(open(os.path.join(root, "data/cfg/humanoid_ase_sword_shield_getup.yaml")))
     cfg["env"]["numEnvs"] = num_envs
-    cfg["env"]["motion_file"] = (
-        "/root/reference/ase/data/motions/reallusion_sword_shield/RL_Avatar_Idle_Ready_Motion.npy"
-    )
+    from ase_tpu.utils import paths
+
+    cfg["env"]["motion_file"] = paths.default_clip()
     cfg["env"]["enableSelfCollision"] = True
     env = parse_task("HumanoidAMP", cfg)
 

@@ -10,17 +10,20 @@ Two modes:
   covers the motion manifold, episode length grows as it stops falling.
   Saves the resulting LLC checkpoint for the HRL stage.
 
-- ``hrl``: high-level-controller training on HumanoidHeading from a frozen
-  LLC (reference ase/learning/hrl_agent.py:45-82, 202-214): task reward must
+- ``hrl``: high-level-controller training on one of the four downstream tasks
+  (Heading/Location/Reach/Strike) from a frozen LLC (reference
+  ase/learning/hrl_agent.py:45-82, 202-214; task rewards
+  humanoid_heading.py:250-285, humanoid_location.py:184-227,
+  humanoid_reach.py:184-195, humanoid_strike.py:218-251): task reward must
   trend up as the HLC learns to steer latents.
 
 Appends a section to docs/VALIDATION.md and dumps the full metric history to
-docs/validation_{mode}_history.json.
+docs/validation_{mode}[_{task}]_history.json.
 
 Usage:
   python scripts/validate_ase.py --mode ase --epochs 600
-  python scripts/validate_ase.py --mode hrl --epochs 300 \
-      --llc output/validate_ase/llc.ckpt.npz
+  python scripts/validate_ase.py --mode hrl --task HumanoidStrike --epochs 400 \
+      --llc data/models/ase_llc_reallusion_sword_shield.ckpt.npz
 """
 
 import argparse
@@ -33,12 +36,21 @@ os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
 
-DATASET = (
-    "/root/reference/ase/data/motions/reallusion_sword_shield/"
+DATASET = os.path.join(
+    _ROOT, "data/motions/reallusion_sword_shield/"
     "dataset_reallusion_sword_shield.yaml"
 )
+
+# HRL downstream tasks -> env cfg (reference ase/data/cfg/*.yaml)
+HRL_TASK_CFG = {
+    "HumanoidHeading": "humanoid_sword_shield_heading.yaml",
+    "HumanoidLocation": "humanoid_sword_shield_location.yaml",
+    "HumanoidReach": "humanoid_sword_shield_reach.yaml",
+    "HumanoidStrike": "humanoid_sword_shield_strike.yaml",
+}
 
 
 def run(args):
@@ -65,11 +77,11 @@ def run(args):
         from ase_tpu.learning.hrl_agent import HRLAgent
 
         cfg = yaml.safe_load(
-            open(os.path.join(root, "data/cfg/humanoid_sword_shield_heading.yaml")))
+            open(os.path.join(root, "data/cfg", HRL_TASK_CFG[args.task])))
         cfg_train = yaml.safe_load(
             open(os.path.join(root, "data/cfg/train/rlg/hrl_humanoid.yaml")))
         cfg_train["params"]["config"]["llc_checkpoint"] = args.llc
-        task, agent_cls = "HumanoidHeading", HRLAgent
+        task, agent_cls = args.task, HRLAgent
         curve_keys = ["reward_mean", "game_reward_mean", "game_length_mean"]
 
     cfg["env"]["numEnvs"] = args.num_envs
@@ -82,6 +94,9 @@ def run(args):
     c["minibatch_size"] = min(16384, args.num_envs * args.horizon)
     c["mixed_precision"] = True
     c["save_frequency"] = 0
+
+    tag = args.mode if args.mode == "ase" else (
+        "hrl_" + args.task.replace("Humanoid", "").lower())
 
     env = parse_task(task, cfg)
     agent = agent_cls(env, cfg_train)
@@ -107,7 +122,7 @@ def run(args):
             ckpt.save(args.ckpt_out, ts, exclude=agent._ckpt_exclude())
         if epoch % 50 == 49:  # crash-safe incremental curve dump
             with open(os.path.join(
-                    root, f"docs/validation_{args.mode}_history.json"), "w") as f:
+                    root, f"docs/validation_{tag}_history.json"), "w") as f:
                 json.dump(history, f)
 
     wall = time.time() - t_start
@@ -115,7 +130,7 @@ def run(args):
         os.makedirs(os.path.dirname(args.ckpt_out), exist_ok=True)
         ckpt.save(args.ckpt_out, ts, exclude=agent._ckpt_exclude())
 
-    hist_path = os.path.join(root, f"docs/validation_{args.mode}_history.json")
+    hist_path = os.path.join(root, f"docs/validation_{tag}_history.json")
     with open(hist_path, "w") as f:
         json.dump(history, f)
 
@@ -124,7 +139,7 @@ def run(args):
                     args.epochs - 1})
     title = ("ASE LLC pretrain — 87-clip sword&shield dataset"
              if args.mode == "ase" else
-             "HRL HumanoidHeading — frozen LLC")
+             f"HRL {args.task} — frozen LLC")
     with open(os.path.join(root, "docs/VALIDATION.md"), "a") as f:
         f.write(f"\n## {title}\n\n")
         f.write(f"Task {task}, {args.num_envs} envs, horizon {args.horizon}, "
@@ -144,12 +159,14 @@ def run(args):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", choices=["ase", "hrl"], default="ase")
+    p.add_argument("--task", choices=sorted(HRL_TASK_CFG), default="HumanoidHeading",
+                   help="HRL downstream task (hrl mode only)")
     p.add_argument("--epochs", type=int, default=600)
     p.add_argument("--num-envs", type=int, default=4096)
     p.add_argument("--horizon", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--motion", default=DATASET)
-    p.add_argument("--llc", default="output/validate_ase/llc.ckpt.npz")
+    p.add_argument("--llc", default="data/models/ase_llc_reallusion_sword_shield.ckpt.npz")
     p.add_argument("--ckpt-out", default="")
     args = p.parse_args()
     if args.mode == "ase" and not args.ckpt_out:

@@ -21,9 +21,9 @@ def main():
     p.add_argument("--epochs", type=int, default=300)
     p.add_argument("--num-envs", type=int, default=1024)
     p.add_argument("--task", default="HumanoidAMP")
-    p.add_argument("--motion", default=(
-        "/root/reference/ase/data/motions/reallusion_sword_shield/"
-        "RL_Avatar_Idle_Ready_Motion.npy"))
+    p.add_argument("--motion", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data/motions/reallusion_sword_shield/RL_Avatar_Idle_Ready_Motion.npy"))
     p.add_argument("--out", default="docs/VALIDATION.md")
     args = p.parse_args()
 

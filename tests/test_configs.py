@@ -8,10 +8,9 @@ import yaml
 
 from ase_tpu.envs import parse_task
 
-MOTION = (
-    "/root/reference/ase/data/motions/reallusion_sword_shield/"
-    "RL_Avatar_Idle_Ready_Motion.npy"
-)
+from ase_tpu.utils import paths
+
+MOTION = paths.default_clip()
 
 CFG_TASKS = {
     "humanoid.yaml": "HumanoidAMP",

@@ -7,10 +7,9 @@ import pytest
 
 from ase_tpu.envs import parse_task
 
-MOTION = (
-    "/root/reference/ase/data/motions/reallusion_sword_shield/"
-    "RL_Avatar_Idle_Ready_Motion.npy"
-)
+from ase_tpu.utils import paths
+
+MOTION = paths.default_clip()
 
 
 def make_cfg(**env_overrides):

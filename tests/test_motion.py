@@ -12,10 +12,9 @@ from ase_tpu.motion import retarget, skeleton as sk
 from ase_tpu.physics import dynamics, mjcf
 
 ASSET = "data/assets/mjcf/amp_humanoid_sword_shield.xml"
-CLIP = (
-    "/root/reference/ase/data/motions/reallusion_sword_shield/"
-    "RL_Avatar_Idle_Ready_Motion.npy"
-)
+from ase_tpu.utils import paths
+
+CLIP = paths.default_clip()
 KEY_BODIES = ["right_hand", "left_hand", "right_foot", "left_foot", "sword", "shield"]
 
 
