@@ -37,6 +37,11 @@ class NoiseSpec:
         self.distribution = cfg.get("distribution", "gaussian")
         self.schedule = cfg.get("schedule", None)
         self.schedule_steps = int(cfg.get("schedule_steps", 1))
+        # setup-vs-runtime: a setup_only property is randomized once per env
+        # at creation and never resampled (reference base_task.py:306-330
+        # distinguishes properties applied at sim setup from per-episode
+        # rerandomization on the `frequency` schedule)
+        self.setup_only = bool(cfg.get("setup_only", False))
 
     def apply(self, rng, x, step_count):
         s = _sched_scale(self.schedule, self.schedule_steps, step_count)
@@ -67,8 +72,11 @@ class DomainRandomizer:
         self.mass_spec = NoiseSpec(rb["mass"]) if "mass" in rb else None
         rs = actor.get("rigid_shape_properties", {})
         self.friction_spec = NoiseSpec(rs["friction"]) if "friction" in rs else None
+        self.restitution_spec = (
+            NoiseSpec(rs["restitution"]) if "restitution" in rs else None)
         dof = actor.get("dof_properties", {})
         self.stiffness_spec = NoiseSpec(dof["stiffness"]) if "stiffness" in dof else None
+        self.damping_spec = NoiseSpec(dof["damping"]) if "damping" in dof else None
         # sim-parameter randomization (reference sim_params block): gravity
         sim = cfg.get("sim_params", {})
         self.gravity_spec = NoiseSpec(sim["gravity"]) if "gravity" in sim else None
@@ -87,12 +95,15 @@ class DomainRandomizer:
 
     # -- per-env property scales (resampled on schedule) ----------------------
 
-    def init_scales(self, B: int) -> Dict[str, jnp.ndarray]:
+    def init_scales(self, B: int, base_restitution: float = 0.0) -> Dict[str, jnp.ndarray]:
+        self.base_restitution = float(base_restitution)
         return {
             "friction_scale": jnp.ones(B),
             "mass_scale": jnp.ones(B),
             "stiffness_scale": jnp.ones(B),
+            "damping_scale": jnp.ones(B),
             "gravity_scale": jnp.ones(B),
+            "restitution": jnp.full((B,), float(base_restitution)),
             "dr_count": jnp.zeros(B, jnp.int32),
             # global control-step counter driving the per-property schedules
             # (reference base_task.py last_step-based linear ramps)
@@ -114,18 +125,36 @@ class DomainRandomizer:
         step_count = scales["step_count"]
         out = dict(scales)
         due = mask & (scales["dr_count"] % jnp.maximum(self.frequency, 1) == 0)
-        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        # setup-only properties are randomized exactly once, at the env's
+        # first reset, regardless of the rerandomization frequency
+        due_setup = mask & (scales["dr_count"] == 0)
+        keys = jax.random.split(rng, 6)
+
+        def _upd(spec, key, cur, base):
+            d = due_setup if spec.setup_only else due
+            v = spec.apply(key, base, step_count)
+            return jnp.where(d, v, cur)
+
+        ones = jnp.ones(B)
         if self.friction_spec:
-            f = self.friction_spec.apply(k1, jnp.ones(B), step_count)
-            out["friction_scale"] = jnp.where(due, f, scales["friction_scale"])
+            out["friction_scale"] = _upd(
+                self.friction_spec, keys[0], scales["friction_scale"], ones)
         if self.mass_spec:
-            m = self.mass_spec.apply(k2, jnp.ones(B), step_count)
-            out["mass_scale"] = jnp.where(due, m, scales["mass_scale"])
+            out["mass_scale"] = _upd(
+                self.mass_spec, keys[1], scales["mass_scale"], ones)
         if self.stiffness_spec:
-            s = self.stiffness_spec.apply(k3, jnp.ones(B), step_count)
-            out["stiffness_scale"] = jnp.where(due, s, scales["stiffness_scale"])
+            out["stiffness_scale"] = _upd(
+                self.stiffness_spec, keys[2], scales["stiffness_scale"], ones)
+        if self.damping_spec:
+            out["damping_scale"] = _upd(
+                self.damping_spec, keys[3], scales["damping_scale"], ones)
         if self.gravity_spec:
-            g = self.gravity_spec.apply(k4, jnp.ones(B), step_count)
-            out["gravity_scale"] = jnp.where(due, g, scales["gravity_scale"])
+            out["gravity_scale"] = _upd(
+                self.gravity_spec, keys[4], scales["gravity_scale"], ones)
+        if self.restitution_spec:
+            base = jnp.full((B,), getattr(self, "base_restitution", 0.0))
+            out["restitution"] = jnp.clip(_upd(
+                self.restitution_spec, keys[5], scales["restitution"], base),
+                0.0, 1.0)
         out["dr_count"] = scales["dr_count"] + mask.astype(jnp.int32)
         return out

@@ -97,6 +97,7 @@ class Humanoid:
                 float(plane.get("staticFriction", 1.0)), dtype=jnp.float32
             )
         )
+        self._plane_restitution = float(plane.get("restitution", 0.0))
 
         self._tables = collision2.build_tables(
             self.model, self.sim_cfg.enable_self_collision
@@ -231,7 +232,8 @@ class Humanoid:
         if self._expose_dof_forces:
             aux["dof_forces"] = jnp.zeros((B, self.model.nd))
         if self._dr.enabled:
-            aux["dr"] = self._dr.init_scales(B)
+            aux["dr"] = self._dr.init_scales(
+                B, base_restitution=self._plane_restitution)
         return aux
 
     # -- kinematic refresh (the analog of refresh_*_tensor views) ------------
@@ -344,14 +346,17 @@ class Humanoid:
             dr = state.aux["dr"]
             fs, gs = dr["friction_scale"], dr["stiffness_scale"]
             ms, grav = dr["mass_scale"], dr["gravity_scale"]
+            ds = dr["damping_scale"] if self._dr.damping_spec else None
+            rest = dr["restitution"] if self._dr.restitution_spec else None
         else:
             fs = jnp.ones(self.num_envs)
             gs = jnp.ones(self.num_envs)
-            ms = grav = None
+            ms = grav = ds = rest = None
         for _ in range(self.control_freq_inv):
             out = engine.step_batched(
                 self.model, self.sim_cfg, self._tables, phys, tgt, fs, gs,
-                mass_scale=ms, gravity_scale=grav,
+                mass_scale=ms, gravity_scale=grav, damping_scale=ds,
+                restitution=rest,
             )
             phys = out.state
         state = state.replace(

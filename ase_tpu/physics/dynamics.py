@@ -340,14 +340,19 @@ def compute_dynamics(model: M.Model, state: State, kin: Kin, dt: float) -> DynOu
 
 
 def pd_torques(
-    model: M.Model, state: State, pd_target: jnp.ndarray, dt: float
+    model: M.Model, state: State, pd_target: jnp.ndarray, dt: float,
+    kd_scale=1.0,
 ) -> jnp.ndarray:
     """Stable-PD joint torques (nd,) from exp-map/angle targets.
 
     SPD (Tan et al.): tau = -kp (q + dt q̇ - q̄) - kd q̇, with dt·kd moved into
     the mass-matrix diagonal by compute_dynamics.
+
+    ``kd_scale`` is a per-env domain-randomization multiplier on the velocity
+    gain (reference base_task.py dof_properties.damping randomization); the
+    matching implicit-damping diagonal scale lives in dynamics2.
     """
-    kp, kd = model.stiffness, model.damping
+    kp, kd = model.stiffness, model.damping * kd_scale
     qd = dof_vel(model, state)
     s_ids = sph_ids(model)
     taus = []

@@ -159,7 +159,8 @@ def _sym_mv(Ssym, v):
 
 
 def compute_dynamics_batch_last(model: M.Model, states, kin, dt: float,
-                                mass_scale=None, gravity_scale=None):
+                                mass_scale=None, gravity_scale=None,
+                                damping_scale=None):
     """Batched dynamics assembly, batch-last layout.
 
     Returns (M_bl (nu, nu, B), bias (B, nu), Phi (B, nu, 6)) matching
@@ -310,11 +311,21 @@ def compute_dynamics_batch_last(model: M.Model, states, kin, dt: float,
     # --- armature + SPD implicit damping on the diagonal ---
     rd = model.root_dofs
     diag = np.zeros(model.nu, np.float32)
-    diag[rd:] = np.asarray(model.armature) + dt * np.asarray(model.damping)
+    diag[rd:] = np.asarray(model.armature)
     if rd == 6:
         diag[3:6] += dt * float(np.asarray(model.ang_damping))
-    eye = jnp.asarray(np.eye(nu, dtype=np.float32) * diag[None, :])
-    M_bl = M_bl + eye[:, :, None]
+    damp = np.zeros(model.nu, np.float32)
+    damp[rd:] = dt * np.asarray(model.damping)
+    if damping_scale is None:
+        eye = jnp.asarray(np.eye(nu, dtype=np.float32) * (diag + damp)[None, :])
+        M_bl = M_bl + eye[:, :, None]
+    else:
+        # per-env damping DR: only the dt*kd part of the implicit diagonal
+        # scales (armature is a reflected rotor property, not a damper)
+        eye = jnp.asarray(np.eye(nu, dtype=np.float32) * diag[None, :])
+        M_bl = (M_bl + eye[:, :, None]
+                + jnp.asarray(np.eye(nu, dtype=np.float32) * damp[None, :])[:, :, None]
+                * damping_scale[None, None, :])
 
     Phi = jnp.stack([c.T for c in phi_a + phi_l], axis=-1)   # (B, nu, 6)
     return M_bl, bias.T, Phi

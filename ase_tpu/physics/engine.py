@@ -122,7 +122,8 @@ def _chol_solve_batched(L: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
 
 def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
                      actions: jnp.ndarray, friction_scale, gain_scale,
-                     mass_scale=None, gravity_scale=None):
+                     mass_scale=None, gravity_scale=None, damping_scale=None,
+                     restitution=None):
     h = cfg.dt / cfg.substeps
     nu = model.nu
     Bn = actions.shape[0]
@@ -144,12 +145,17 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
         M_bl, bias, Phi = dynamics2.compute_dynamics_batch_last(
             model, states, kin, h,
             mass_scale=mass_scale, gravity_scale=gravity_scale,
+            damping_scale=damping_scale,
         )
     Amask = jnp.asarray(dynamics.ancestor_mask(model))
 
     # actuation
     if cfg.torque_control:
         tau = actions * model.motor_gear[None, :] * cfg.power_scale
+    elif damping_scale is not None:
+        tau = jax.vmap(
+            lambda s, a, ks: dynamics.pd_torques(model, s, a, h, kd_scale=ks)
+        )(states, actions, damping_scale)
     else:
         tau = jax.vmap(lambda s, a: dynamics.pd_torques(model, s, a, h))(states, actions)
     tau = tau * gain_scale[:, None] + jax.vmap(
@@ -161,7 +167,12 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
     prop_R = rot.quat_to_rotation_matrix(states.prop_quat)   # (B, np, 3, 3)
     if model.num_props > 0:
         blk = states.u[:, nu:].reshape(Bn, model.num_props, 6)
-        v = blk[..., 0:3] + h * model.gravity
+        # gravity DR applies to the whole sim (reference randomizes
+        # sim_params.gravity), so free props scale too
+        if gravity_scale is not None:
+            v = blk[..., 0:3] + h * model.gravity * gravity_scale[:, None, None]
+        else:
+            v = blk[..., 0:3] + h * model.gravity
         I_w = _einsum(
             "bpij,pjk,bplk->bpil", prop_R, model.inertia[model.nb :], prop_R
         )
@@ -233,7 +244,16 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
             A = A + _einsum("bvi,bvj->bij", JT_prop, W_prop)
             v0f = v0f + _einsum("bvi,bv->bi", JT_prop, u_free_prop)
 
-        lam_f = solver2.jacobi_lambda(contacts, A, v0f, h, cfg.solver)
+        if restitution is not None:
+            # pre-solve normal contact velocities for the Newton bounce
+            # target (only materialized when the restitution DR knob is on)
+            vn_pre = _einsum("bvi,bv->bi", JT, states.u)[:, : JT.shape[-1] // 3]
+            lam_f = solver2.jacobi_lambda(
+                contacts, A, v0f, h, cfg.solver,
+                restitution=restitution, vn_pre=vn_pre,
+            )
+        else:
+            lam_f = solver2.jacobi_lambda(contacts, A, v0f, h, cfg.solver)
 
         du_bl = (h * y0 + _einsum("vib,bi->vb", Z, lam_f))[:, None, :]  # (nu,1,B)
         u_art_new = states.u[:, :nu] + pallas_chol.back_solve(L_bl, du_bl)[:, 0, :].T
@@ -331,12 +351,14 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
 
 def step_batched(model: M.Model, cfg: SimConfig, tables, states: State,
                  actions: jnp.ndarray, friction_scale=None, gain_scale=None,
-                 mass_scale=None, gravity_scale=None) -> StepOut:
+                 mass_scale=None, gravity_scale=None, damping_scale=None,
+                 restitution=None) -> StepOut:
     """Advance one sim tick (cfg.substeps solver substeps), batched envs.
 
-    friction/gain/mass/gravity_scale are per-env domain-randomization
-    multipliers (reference base_task.py:306-386 apply_randomizations:
-    rigid_shape friction, dof stiffness, rigid_body mass, sim gravity)."""
+    friction/gain/mass/gravity/damping_scale and restitution are per-env
+    domain-randomization knobs (reference base_task.py:306-386
+    apply_randomizations: rigid_shape friction/restitution, dof
+    stiffness/damping, rigid_body mass, sim gravity)."""
     B = actions.shape[0]
     if friction_scale is None:
         friction_scale = jnp.ones(B)
@@ -348,6 +370,7 @@ def step_batched(model: M.Model, cfg: SimConfig, tables, states: State,
         st, forces, tau = _substep_batched(
             model, cfg, tables, st, actions, friction_scale, gain_scale,
             mass_scale=mass_scale, gravity_scale=gravity_scale,
+            damping_scale=damping_scale, restitution=restitution,
         )
         return (st, forces, tau), None
 

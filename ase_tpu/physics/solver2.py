@@ -165,9 +165,16 @@ def jacobi_lambda(
     v0f: jnp.ndarray,        # (B, 3K) free contact-frame velocities
     dt: float,
     cfg: SolverConfig,
+    restitution=None,        # optional (B,) coefficient of restitution
+    vn_pre=None,             # (B, K) pre-solve normal contact velocities
 ):
     """Block-Jacobi Coulomb iteration on a precomputed Delassus operator.
     Returns the converged impulse vector lam (B, 3K), component-grouped.
+
+    With ``restitution``/``vn_pre`` given, impacting contacts get a Newton
+    bounce target: the normal velocity is driven to ``e·max(-vn_pre, 0)`` on
+    top of the Baumgarte bias (PhysX material restitution parity; exercised
+    by the domain-randomization rigid_shape_properties.restitution knob).
 
     The Tikhonov regularization is folded into the iteration residual
     (``r += reg*lam``) instead of materializing ``A + reg*I`` — the add was a
@@ -191,6 +198,8 @@ def jacobi_lambda(
         cfg.baumgarte / dt * jnp.maximum(contacts.depth - cfg.slop, 0.0),
         cfg.max_depenetration_velocity,
     )
+    if restitution is not None and vn_pre is not None:
+        v_bias = v_bias + restitution[:, None] * jnp.maximum(-vn_pre, 0.0)
 
     A_it = A.astype(jnp.bfloat16) if cfg.matvec_bf16 else A
 

@@ -41,6 +41,11 @@ def main(argv=None):
     from ase_tpu.utils import config as cfg_util
 
     args = cfg_util.get_args(argv)
+    if args.rl_device == "cpu":
+        # force the JAX host-CPU backend (the deployment may register a TPU
+        # plugin that would otherwise take precedence)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     if args.multi_host:
         # Multi-host data parallelism: one process per host, all hosts join a
         # global mesh. jax.distributed reads the coordinator/topology from
@@ -71,12 +76,17 @@ def main(argv=None):
         agent.setup_mesh()
 
     writer = None
-    try:
-        from torch.utils.tensorboard import SummaryWriter
+    if args.bench:
+        # benchmark mode: pure training throughput — no TB writer, no saves
+        agent.config["save_frequency"] = 0
+        agent.save_frequency = 0
+    else:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
 
-        writer = SummaryWriter(os.path.join(args.output_path, "summaries"))
-    except Exception:
-        pass
+            writer = SummaryWriter(os.path.join(args.output_path, "summaries"))
+        except Exception:
+            pass
 
     # training resume (reference config.py:97-104): --resume 1 --checkpoint <p>
     restore_path = None

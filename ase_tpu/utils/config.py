@@ -56,11 +56,14 @@ def get_args(argv=None) -> argparse.Namespace:
     p.add_argument("--max_iterations", type=int, default=0)
     p.add_argument("--horizon_length", type=int, default=-1)
     p.add_argument("--minibatch_size", type=int, default=-1)
-    p.add_argument("--rl_device", type=str, default="tpu")
+    p.add_argument("--rl_device", type=str, default="tpu",
+                   help="Compute platform: 'tpu' (default) or 'cpu' (forces "
+                        "the JAX CPU backend, e.g. for debugging)")
     p.add_argument("--llc_checkpoint", type=str, default="")
     p.add_argument("--output_path", type=str, default="output")
     p.add_argument("--randomize", action="store_true", help="Domain randomization")
-    p.add_argument("--bench", action="store_true", help="Benchmark mode (no logging)")
+    p.add_argument("--bench", action="store_true",
+                   help="Benchmark mode: no TensorBoard writer, no checkpoint saves")
     args = p.parse_args(argv)
     if args.play:
         args.test = True
@@ -82,6 +85,14 @@ def load_cfg(args) -> Tuple[Dict[str, Any], Dict[str, Any]]:
         cfg["env"]["motion_file"] = args.motion_file
     cfg["name"] = args.task
     cfg["headless"] = args.headless
+
+    # physics domain randomization (reference config.py:70-76): the CLI flag
+    # ORs into the cfg's own task.randomize; the env reads cfg.task.*
+    if "task" in cfg:
+        cfg["task"]["randomize"] = bool(
+            args.randomize or cfg["task"].get("randomize", False))
+    else:
+        cfg["task"] = {"randomize": bool(args.randomize)}
 
     train_cfg = cfg_train["params"]["config"]
     train_cfg["num_actors"] = cfg["env"]["numEnvs"]

@@ -37,11 +37,12 @@ def stepper(sim):
     model, cfg, tables = sim
 
     @jax.jit
-    def f(actions, fs, gs, ms, grav):
+    def f(actions, fs, gs, ms, grav, ds, rest):
         def body(s, _):
             out = engine.step_batched(
                 model, cfg, tables, s, actions, fs, gs,
-                mass_scale=ms, gravity_scale=grav,
+                mass_scale=ms, gravity_scale=grav, damping_scale=ds,
+                restitution=rest,
             )
             return out.state, None
         s, _ = jax.lax.scan(body, _pair_states(model), None, length=4)
@@ -50,7 +51,8 @@ def stepper(sim):
     ones = jnp.ones(2)
 
     def run(actions, **scales):
-        kw = {k: ones for k in ("fs", "gs", "ms", "grav")}
+        kw = {k: ones for k in ("fs", "gs", "ms", "grav", "ds")}
+        kw["rest"] = jnp.zeros(2)
         kw.update(scales)
         return np.asarray(f(actions, **kw))
 
@@ -84,6 +86,25 @@ def test_friction_and_stiffness_scales_change_dynamics(sim, stepper):
     assert not np.allclose(u_g[0], u_g[1], atol=1e-5)
 
 
+def test_damping_scale_changes_dynamics(sim, stepper):
+    model = sim[0]
+    actions = jnp.tile(jnp.full((1, model.nd), 0.4), (2, 1))
+    u = stepper(actions, ds=jnp.array([1.0, 0.1]))
+    assert not np.allclose(u[0], u[1], atol=1e-5)
+    # scale 1.0 (env 0) matches the no-DR baseline
+    u_ref = stepper(actions)
+    np.testing.assert_allclose(u[0], u_ref[0], atol=1e-5)
+
+
+def test_restitution_changes_dynamics(sim, stepper):
+    """A bouncy character collapsing onto its feet picks up outgoing normal
+    velocity at the contacts; e=0 (inelastic default) does not."""
+    model = sim[0]
+    actions = jnp.zeros((2, model.nd))
+    u = stepper(actions, rest=jnp.array([0.0, 0.9]))
+    assert not np.allclose(u[0], u[1], atol=1e-6), np.max(np.abs(u[0] - u[1]))
+
+
 def _dr_cfg():
     return {
         "frequency": 2,
@@ -97,12 +118,20 @@ def _dr_cfg():
             "rigid_body_properties": {"mass": {
                 "range": [0.7, 1.3], "operation": "scaling",
                 "distribution": "uniform"}},
-            "rigid_shape_properties": {"friction": {
-                "range": [0.7, 1.3], "operation": "scaling",
-                "distribution": "uniform"}},
-            "dof_properties": {"stiffness": {
-                "range": [0.8, 1.2], "operation": "scaling",
-                "distribution": "uniform"}},
+            "rigid_shape_properties": {
+                "friction": {
+                    "range": [0.7, 1.3], "operation": "scaling",
+                    "distribution": "uniform"},
+                "restitution": {
+                    "range": [0.0, 0.7], "operation": "additive",
+                    "distribution": "uniform"}},
+            "dof_properties": {
+                "stiffness": {
+                    "range": [0.8, 1.2], "operation": "scaling",
+                    "distribution": "uniform"},
+                "damping": {
+                    "range": [0.5, 1.5], "operation": "scaling",
+                    "distribution": "uniform"}},
         }},
     }
 
@@ -113,9 +142,13 @@ def test_resample_scales_no_dead_knob():
     scales = dr.init_scales(16)
     mask = jnp.ones(16, bool)
     scales = dr.resample_scales(jax.random.PRNGKey(0), scales, mask)
-    for k in ("friction_scale", "mass_scale", "stiffness_scale", "gravity_scale"):
+    for k in ("friction_scale", "mass_scale", "stiffness_scale",
+              "damping_scale", "gravity_scale"):
         v = np.asarray(scales[k])
         assert not np.allclose(v, 1.0), k
+    assert not np.allclose(np.asarray(scales["restitution"]), 0.0)
+    assert np.all(np.asarray(scales["restitution"]) >= 0.0)
+    assert np.all(np.asarray(scales["restitution"]) <= 1.0)
     # frequency gating: dr_count 1 -> not due -> unchanged
     before = np.asarray(scales["mass_scale"])
     scales2 = dr.resample_scales(jax.random.PRNGKey(1), scales, mask)
@@ -123,6 +156,64 @@ def test_resample_scales_no_dead_knob():
     # dr_count 2 % frequency 2 == 0 -> due again -> changes
     scales3 = dr.resample_scales(jax.random.PRNGKey(2), scales2, mask)
     assert not np.allclose(np.asarray(scales3["mass_scale"]), before)
+
+
+def test_setup_only_property_randomized_once():
+    """A setup_only property is sampled at env creation (first reset) and
+    never resampled, even when the frequency schedule makes others due
+    (reference base_task.py setup-vs-runtime distinction)."""
+    cfg = _dr_cfg()
+    cfg["actor_params"]["humanoid"]["rigid_body_properties"]["mass"][
+        "setup_only"] = True
+    dr = DomainRandomizer(cfg)
+    scales = dr.init_scales(16)
+    mask = jnp.ones(16, bool)
+    scales = dr.resample_scales(jax.random.PRNGKey(0), scales, mask)
+    m0 = np.asarray(scales["mass_scale"])
+    assert not np.allclose(m0, 1.0)  # sampled at setup
+    # advance dr_count to the next due boundary (frequency=2): friction
+    # resamples, setup_only mass does not
+    scales = dr.resample_scales(jax.random.PRNGKey(1), scales, mask)
+    f1 = np.asarray(scales["friction_scale"])
+    scales = dr.resample_scales(jax.random.PRNGKey(2), scales, mask)
+    np.testing.assert_array_equal(np.asarray(scales["mass_scale"]), m0)
+    assert not np.allclose(np.asarray(scales["friction_scale"]), f1)
+
+
+def test_randomize_cli_flag_wires_through(tmp_path):
+    """`--randomize` ORs into cfg.task.randomize (reference config.py:70-76)
+    and measurably changes the rollout (round-2 VERDICT missing #3)."""
+    import yaml
+
+    from ase_tpu.envs import parse_task
+    from ase_tpu.utils import config as cfg_util
+    from tests.test_env import make_cfg
+
+    base = make_cfg(stateInit="Default")
+    base["task"] = {"randomization_params": _dr_cfg()}
+    cfg_path = tmp_path / "env.yaml"
+    cfg_path.write_text(yaml.safe_dump(base))
+    train_path = tmp_path / "train.yaml"
+    train_path.write_text(yaml.safe_dump(
+        {"params": {"seed": 0, "config": {}}}))
+
+    argv_base = ["--task", "HumanoidAMP", "--cfg_env", str(cfg_path),
+                 "--cfg_train", str(train_path), "--seed", "0"]
+    cfg_off, _ = cfg_util.load_cfg(cfg_util.get_args(argv_base))
+    assert cfg_off["task"]["randomize"] is False
+    cfg_on, _ = cfg_util.load_cfg(cfg_util.get_args(argv_base + ["--randomize"]))
+    assert cfg_on["task"]["randomize"] is True
+
+    def rollout(cfg):
+        env = parse_task("HumanoidAMP", cfg)
+        state = env.initial_state(jax.random.PRNGKey(0))
+        step = jax.jit(env.step)
+        for _ in range(3):
+            state = step(state, jnp.zeros((cfg["env"]["numEnvs"], 31)))
+        return np.asarray(state.obs)
+
+    obs_off, obs_on = rollout(cfg_off), rollout(cfg_on)
+    assert not np.allclose(obs_off, obs_on, atol=1e-6)
 
 
 def test_schedule_ramp():
