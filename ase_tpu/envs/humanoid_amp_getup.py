@@ -55,7 +55,6 @@ class HumanoidAMPGetup(HumanoidAMP):
         # zero velocities, keep poses
         u = phys.u * 0.0
         phys = phys._replace(u=u)
-        self._fall_states = jax.tree_util.tree_map(jax.device_get, phys)
         self._fall_states = phys
         return phys
 

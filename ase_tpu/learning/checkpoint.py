@@ -48,31 +48,39 @@ def load_dict(path: str) -> dict:
     return dict(np.load(path))
 
 
-def restore(path: str, template: Any, prefix: str = "", strict: bool = True) -> Any:
+def restore(path: str, template: Any, prefix: str = "", strict: bool = True,
+            allow_missing: tuple = ()) -> Any:
     """Load leaves matching `prefix` into the structure of `template`.
 
     Template leaf paths are matched against checkpoint keys after stripping
     `prefix` from the checkpoint side. With ``strict`` (training resume),
-    missing keys and shape mismatches raise. Non-strict (player/eval
-    restore, reference rl_games set_weights semantics: weights + normalizers
-    only) keeps the template value for missing keys AND for leaves whose
-    shape depends on the env batch (e.g. per-env `ase_latents`,
-    `cur_rewards`) — a checkpoint trained at 4096 envs must evaluate at any
-    env count.
+    missing keys and shape mismatches raise — EXCEPT for leaves whose key
+    contains a substring in ``allow_missing`` (the known-transient subtrees a
+    buffer-excluding `save` legitimately drops, e.g. the reconstructible AMP
+    demo/replay buffers): those keep the template value. Anything else
+    missing means a wrong/renamed checkpoint and must fail loudly rather
+    than silently resuming from partially fresh weights.
+
+    Non-strict (player/eval restore, reference rl_games set_weights
+    semantics: weights + normalizers only) keeps the template value for
+    missing keys AND for leaves whose shape depends on the env batch (e.g.
+    per-env `ase_latents`, `cur_rewards`) — a checkpoint trained at 4096
+    envs must evaluate at any env count.
     """
     data = load_dict(path)
     leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
     out = []
     for p, v in leaves:
         key = prefix + _leaf_key(p)
+        skippable = (not strict) or any(x in key for x in allow_missing)
         if key not in data:
-            if strict:
+            if not skippable:
                 raise KeyError(f"checkpoint missing {key}")
             out.append(v)
             continue
         arr = data[key]
         if hasattr(v, "shape") and tuple(np.shape(v)) != tuple(arr.shape):
-            if strict:
+            if not skippable:
                 raise ValueError(
                     f"{key}: shape {arr.shape} != template {np.shape(v)}"
                 )

@@ -128,6 +128,10 @@ class CommonAgent:
             "game_lengths_buf": jnp.zeros(K),
             "game_head": jnp.zeros((), jnp.int32),
             "game_total": jnp.zeros(()),
+            # best-reward watermark for the save-best gate: checkpointed so
+            # a resumed run does not overwrite <name>_best.ckpt with a worse
+            # policy (reference rl_games last_mean_rewards restore)
+            "best_mean_rewards": jnp.asarray(-1e9),
         }
 
     def _ckpt_exclude(self) -> tuple:
@@ -141,6 +145,14 @@ class CommonAgent:
 
     def _transient_extra(self) -> tuple:
         return ()
+
+    def _stamp_best(self, ts: "TrainState") -> "TrainState":
+        """Stamp the host-side best-reward watermark into the pytree about to
+        be saved (keeps the in-flight train state's device placement
+        untouched)."""
+        best = float(getattr(self, "_best_mean_rewards", -1e9))
+        return ts.replace(
+            extra={**ts.extra, "best_mean_rewards": jnp.asarray(best)})
 
     def _actor_sigma(self, params, obs_n, extra):
         """(mu, sigma) for the normalized obs batch."""
@@ -216,14 +228,19 @@ class CommonAgent:
         cur_l = extra["cur_lengths"] + 1.0
         done_mask = dones > 0
         fin_rank = jnp.cumsum(dones).astype(jnp.int32) - 1
-        pos = jnp.where(done_mask, (extra["game_head"] + fin_rank) % K, K)
+        n_fin = jnp.sum(dones)
+        # with more than K finishes in one step (possible at 4096 envs with
+        # synchronized resets) the ring would wrap within a single scatter,
+        # giving duplicate indices with unspecified winners — keep only the
+        # LAST K finished games so the window is exactly "the last K games"
+        keep = fin_rank >= n_fin.astype(jnp.int32) - K
+        pos = jnp.where(done_mask & keep, (extra["game_head"] + fin_rank) % K, K)
         extra["game_rewards_buf"] = extra["game_rewards_buf"].at[pos].set(
             cur_r, mode="drop"
         )
         extra["game_lengths_buf"] = extra["game_lengths_buf"].at[pos].set(
             cur_l, mode="drop"
         )
-        n_fin = jnp.sum(dones)
         extra["game_head"] = (extra["game_head"] + n_fin.astype(jnp.int32)) % K
         extra["game_total"] = extra["game_total"] + n_fin
         extra["cur_rewards"] = cur_r * (1.0 - dones)
@@ -642,10 +659,18 @@ class CommonAgent:
             # counters and RNG — comes back from the checkpoint; epoch
             # counting continues where it stopped. Env state is freshly
             # reset (the reference cannot restore PhysX state either).
+            # strict resume: only the known-transient subtrees (excluded
+            # demo/replay buffers) and fields newer than the checkpoint may
+            # be missing — anything else (wrong checkpoint, renamed field,
+            # different network width) raises instead of silently keeping
+            # freshly-initialized template values
             ts = ckpt.restore(
-                restore_path, ts, strict=not self._ckpt_exclude()
+                restore_path, ts, strict=True,
+                allow_missing=self._ckpt_exclude() + ("best_mean_rewards",),
             )
             start_epoch = int(np.asarray(ts.epoch))
+            self._best_mean_rewards = float(
+                np.asarray(ts.extra["best_mean_rewards"]))
             print(f"resumed from {restore_path} at epoch {start_epoch}", flush=True)
 
         ts, env_state = self._place_states(ts, env_state)
@@ -683,11 +708,12 @@ class CommonAgent:
                         writer.add_scalar(f"train/{k}", float(v), frame)
                 writer.add_scalar("performance/total_fps", fps, frame)
             if self.save_frequency > 0 and (epoch + 1) % self.save_frequency == 0:
-                ckpt.save(os.path.join(self.output_dir, f"{name}.ckpt"), ts,
-                          exclude=self._ckpt_exclude())
+                ckpt.save(os.path.join(self.output_dir, f"{name}.ckpt"),
+                          self._stamp_best(ts), exclude=self._ckpt_exclude())
                 if self._save_intermediate:
                     ckpt.save(
-                        os.path.join(self.output_dir, f"{name}_{epoch + 1:08d}.ckpt"), ts
+                        os.path.join(self.output_dir, f"{name}_{epoch + 1:08d}.ckpt"),
+                        self._stamp_best(ts),
                     )
             # best-by-mean-reward checkpoint (reference save_best_after)
             mean_rew = float(np.asarray(metrics.get("game_reward_mean", 0.0)))
@@ -697,9 +723,9 @@ class CommonAgent:
                 and mean_rew > getattr(self, "_best_mean_rewards", -1e9)
             ):
                 self._best_mean_rewards = mean_rew
-                ckpt.save(os.path.join(self.output_dir, f"{name}_best.ckpt"), ts,
-                          exclude=self._ckpt_exclude())
-        ckpt.save(os.path.join(self.output_dir, f"{name}.ckpt"), ts,
-                  exclude=self._ckpt_exclude())
+                ckpt.save(os.path.join(self.output_dir, f"{name}_best.ckpt"),
+                          self._stamp_best(ts), exclude=self._ckpt_exclude())
+        ckpt.save(os.path.join(self.output_dir, f"{name}.ckpt"),
+                  self._stamp_best(ts), exclude=self._ckpt_exclude())
         print(f"training done in {time.time()-start:.1f}s")
         return ts, env_state

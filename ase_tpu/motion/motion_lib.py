@@ -37,7 +37,6 @@ class MotionLib:
     gvs: jnp.ndarray      # (F, J, 3) global body linear velocities
     gavs: jnp.ndarray     # (F, J, 3) global body angular velocities
     dvs: jnp.ndarray      # (F, D) dof velocities
-    dps: jnp.ndarray      # (F, D) dof positions (precomputed per frame)
 
     # per-clip metadata
     length_starts: jnp.ndarray  # (M,) int32 frame offset of each clip
@@ -306,7 +305,6 @@ def load_motion_lib(
                 gts=jnp.asarray(cached["gts"]), grs=jnp.asarray(cached["grs"]),
                 lrs=jnp.asarray(cached["lrs"]), gvs=jnp.asarray(cached["gvs"]),
                 gavs=jnp.asarray(cached["gavs"]), dvs=jnp.asarray(cached["dvs"]),
-                dps=jnp.zeros((1,)),
                 length_starts=jnp.asarray(cached["length_starts"]),
                 lengths=jnp.asarray(cached["lengths"]),
                 num_frames=jnp.asarray(cached["num_frames"]),
@@ -317,11 +315,10 @@ def load_motion_lib(
                 dof_offsets=tuple(int(i) for i in dof_offsets),
                 num_joints=int(cached["gts"].shape[1]),
             )
-            dps = jax.jit(local_rotation_to_dof)(lib, lib.lrs)
-            return lib.replace(dps=dps)
+            return lib
 
-    all_gts, all_grs, all_lrs, all_gvs, all_gavs, all_dvs, all_dps = (
-        [], [], [], [], [], [], [],
+    all_gts, all_grs, all_lrs, all_gvs, all_gavs, all_dvs = (
+        [], [], [], [], [], [],
     )
     lengths, nframes, dts = [], [], []
     tree = None
@@ -378,7 +375,6 @@ def load_motion_lib(
         gvs=jnp.asarray(np.concatenate(all_gvs)),
         gavs=jnp.asarray(np.concatenate(all_gavs)),
         dvs=jnp.asarray(np.concatenate(all_dvs)),
-        dps=jnp.zeros((1,)),  # placeholder, filled below
         length_starts=jnp.asarray(starts),
         lengths=jnp.asarray(np.asarray(lengths, dtype=np.float32)),
         num_frames=jnp.asarray(nf),
@@ -389,6 +385,4 @@ def load_motion_lib(
         dof_offsets=tuple(int(i) for i in dof_offsets),
         num_joints=tree.num_joints,
     )
-    # precompute per-frame dof positions (used for fast exact-frame queries)
-    dps = jax.jit(local_rotation_to_dof)(lib, lib.lrs)
-    return lib.replace(dps=dps)
+    return lib

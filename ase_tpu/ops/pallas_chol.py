@@ -27,9 +27,14 @@ _TILE = 128  # batch lanes per grid step; in+out blocks are double-buffered,
              # so VMEM use ~ 4 * n*(n+m)*TILE*4 bytes (~8.7 MB at n=37, m=73)
 
 
-def _cap_n(n: int) -> int:
-    # keep VMEM under ~8 MB for the usual nu=37, m<=80 shapes
-    return n <= 64
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the ~16 MB/core VMEM
+
+
+def _fits_vmem(n: int, m: int) -> bool:
+    # in+out blocks are double-buffered: 2 * ((n,n) + (n,m)) f32 tiles.
+    # m = 3*max_contacts+1 is config-dependent, so gate on BOTH dims — a
+    # large maxContacts must fall back to XLA instead of failing at compile.
+    return n <= 64 and 4 * n * (n + m) * _TILE * 4 <= _VMEM_BUDGET
 
 
 def chol_forward(M_bl: jnp.ndarray, rhs_bl: jnp.ndarray):
@@ -46,7 +51,7 @@ def chol_forward(M_bl: jnp.ndarray, rhs_bl: jnp.ndarray):
     if (
         jax.default_backend() == "tpu"
         and B % _TILE == 0
-        and _cap_n(n)
+        and _fits_vmem(n, m)
     ):
         return _chol_forward_pallas(M_bl, rhs_bl)
     return _chol_forward_xla(M_bl, rhs_bl)
@@ -58,7 +63,7 @@ def back_solve(L_bl: jnp.ndarray, y_bl: jnp.ndarray) -> jnp.ndarray:
     if (
         jax.default_backend() == "tpu"
         and B % _TILE == 0
-        and _cap_n(n)
+        and _fits_vmem(n, y_bl.shape[1])
     ):
         return _back_solve_pallas(L_bl, y_bl)
     return _back_solve_xla(L_bl, y_bl)
