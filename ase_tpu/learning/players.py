@@ -1,8 +1,21 @@
 """Evaluation players (reference ``ase/learning/*_players.py``).
 
-Run a restored policy without training: jitted rollout loop with masked env
-resets, deterministic (mean) or stochastic actions, episode-return/length
-tracking, AMP disc/enc reward probes (the reference's ``_amp_debug``).
+Run a restored policy without training, with the reference player loop's
+semantics expressed the TPU way:
+
+* a ``games_num`` episode budget with per-game-batch stat prints (reference
+  ``common_player.py:25-127`` prints ``reward: .. steps: ..`` every step that
+  finishes games, then ``av reward / av steps``) — the rollout runs as jitted
+  fixed-length scan *chunks* that emit per-step finished-game tallies, so the
+  loop stays on-device while the host replays the reference's print cadence;
+* ``_amp_debug``-style disc/enc probes evaluated inside the loop on env 0's
+  live AMP observation (reference ``amp_players.py:33-56``,
+  ``ase_players.py:82-98`` print them when a viewer is attached; here they are
+  printed each chunk when ``debug_probes`` is on, and returned from ``run``);
+* a real HRL player: the high-level action is a latent driven through the
+  frozen LLC by the agent's 5-step ``_env_step`` window, with the LLC
+  discriminator reward probed along the way (reference
+  ``hrl_players.py:169-208``).
 """
 
 from __future__ import annotations
@@ -14,17 +27,27 @@ import jax.numpy as jnp
 import numpy as np
 
 from ase_tpu.learning import checkpoint as ckpt
-from ase_tpu.models import networks
 
 
 class CommonPlayer:
-    """Evaluates a CommonAgent-family checkpoint."""
+    """Evaluates a CommonAgent-family checkpoint.
 
-    def __init__(self, agent, deterministic: bool = True):
+    Reference: ``common_player.py`` — deterministic-mu or sampled actions,
+    env resets for done envs, per-game reward/length accounting.
+    """
+
+    def __init__(self, agent, deterministic: bool = True,
+                 games_num: Optional[int] = None, debug_probes: bool = False,
+                 print_stats: bool = True):
         self.agent = agent
         self.env = agent.env
         self.deterministic = deterministic
-        self._step_jit = None
+        pcfg = agent.config.get("player", {}) or {}
+        self.games_num = int(games_num if games_num is not None
+                             else pcfg.get("games_num", 20))
+        self.debug_probes = bool(debug_probes)
+        self.print_stats = bool(print_stats)
+        self._chunk_fns: Dict[int, Any] = {}  # num_steps -> jitted rollout
 
     def restore(self, path: str, ts=None):
         if ts is None:
@@ -51,65 +74,162 @@ class CommonPlayer:
         )
         return ts, env_state, roll, rewards
 
-    def run(self, num_steps: int = 300, ts=None, env_state=None):
+    def _run_chunk(self, ts, env_state, roll, ret, lens, num_steps):
+        """One jitted fixed-length rollout chunk. Returns the carried state
+        plus per-step finished-game tallies (count, summed returns, summed
+        lengths) for the host-side game loop. The compiled chunk is cached
+        per length — chunks after the first replay the same executable."""
+        loop = self._chunk_fns.get(num_steps)
+        if loop is None:
+
+            @jax.jit
+            def loop(ts, env_state, roll, ret, lens):
+                def body(carry, _):
+                    ts, env_state, roll, ret, lens = carry
+                    ts, env_state, roll, rewards = self._policy_step(
+                        ts, env_state, roll)
+                    ret = ret + rewards
+                    lens = lens + 1
+                    done = env_state.reset_buf > 0
+                    step_out = (
+                        jnp.sum(done),
+                        jnp.sum(jnp.where(done, ret, 0.0)),
+                        jnp.sum(jnp.where(done, lens, 0)),
+                    )
+                    ret = jnp.where(done, 0.0, ret)
+                    lens = jnp.where(done, 0, lens)
+                    return (ts, env_state, roll, ret, lens), step_out
+
+                carry, ys = jax.lax.scan(
+                    body, (ts, env_state, roll, ret, lens), None, length=num_steps
+                )
+                return carry, ys
+
+            self._chunk_fns[num_steps] = loop
+
+        return loop(ts, env_state, roll, ret, lens)
+
+    # -- probe hook (reference _post_step/_amp_debug) -------------------------
+
+    def _probe(self, ts, env_state, roll) -> Dict[str, float]:
+        """Live model diagnostics on the current env state; overridden by
+        AMP/ASE/HRL players. Called once per chunk when debug_probes is on."""
+        return {}
+
+    def run(self, num_steps: int = 300, games_num: Optional[int] = None,
+            ts=None, env_state=None, max_chunks: int = 100):
+        """Reference ``CommonPlayer.run``: play until ``games_num`` episodes
+        finish (in chunks of ``num_steps`` on-device steps), printing
+        per-game-batch stats, then the aggregate."""
+        games_num = int(games_num if games_num is not None else self.games_num)
         ts = ts if ts is not None else self.ts
         if env_state is None:
             env_state = self.env.initial_state(jax.random.PRNGKey(1))
         roll = self.agent._init_rollout_carry(ts, env_state)
 
-        @jax.jit
-        def loop(ts, env_state, roll):
-            def body(carry, _):
-                ts, env_state, roll, ret, lens, done_ret, n_done = carry
-                ts, env_state, roll, rewards = self._policy_step(ts, env_state, roll)
-                ret = ret + rewards
-                lens = lens + 1
-                done = env_state.reset_buf > 0
-                done_ret = done_ret + jnp.sum(jnp.where(done, ret, 0.0))
-                n_done = n_done + jnp.sum(done)
-                ret = jnp.where(done, 0.0, ret)
-                lens = jnp.where(done, 0, lens)
-                return (ts, env_state, roll, ret, lens, done_ret, n_done), None
+        B = self.env.num_envs
+        ret = jnp.zeros(B)
+        lens = jnp.zeros(B, jnp.int32)
+        games_played = 0
+        sum_rewards = 0.0
+        sum_steps = 0.0
+        probes: Dict[str, float] = {}
 
-            B = self.env.num_envs
-            init = (
-                ts, env_state, roll, jnp.zeros(B), jnp.zeros(B, jnp.int32),
-                jnp.asarray(0.0), jnp.asarray(0, jnp.int32),
+        for _ in range(max_chunks):
+            (ts, env_state, roll, ret, lens), ys = self._run_chunk(
+                ts, env_state, roll, ret, lens, num_steps
             )
-            (ts, env_state, roll, ret, lens, done_ret, n_done), _ = jax.lax.scan(
-                body, init, None, length=num_steps
-            )
-            return ts, env_state, done_ret, n_done, ret, lens
+            counts, rsums, lsums = (np.asarray(y) for y in jax.device_get(ys))
+            for c, r, l in zip(counts, rsums, lsums):
+                if c > 0:
+                    games_played += int(c)
+                    sum_rewards += float(r)
+                    sum_steps += float(l)
+                    if self.print_stats:
+                        print(f"reward: {float(r) / int(c):.4f} "
+                              f"steps: {float(l) / int(c):.1f}")
+                    if games_played >= games_num:
+                        break
+            if self.debug_probes:
+                probes = {k: float(v) for k, v in
+                          self._probe(ts, env_state, roll).items()}
+                print("probe: " + " ".join(
+                    f"{k}: {v:.4f}" for k, v in probes.items()))
+            if games_played >= games_num:
+                break
 
-        ts, env_state, done_ret, n_done, ret, lens = loop(ts, env_state, roll)
-        n = max(int(n_done), 1)
+        n = max(games_played, 1)
         stats = {
-            "mean_return": float(done_ret) / n,
-            "episodes": int(n_done),
+            "mean_return": sum_rewards / n,
+            "mean_length": sum_steps / n,
+            "episodes": games_played,
             "running_return_mean": float(jnp.mean(ret)),
+            **probes,
         }
-        print(f"player: {stats}")
+        print(f"av reward: {stats['mean_return']:.4f} "
+              f"av steps: {stats['mean_length']:.1f} "
+              f"episodes: {games_played}")
         return stats
 
 
 class AMPPlayer(CommonPlayer):
-    """Adds disc-reward probing (reference amp_players.py)."""
+    """Adds the discriminator probe (reference ``amp_players.py:33-56``
+    ``_amp_debug``: disc logit + disc reward of env 0's live AMP obs)."""
 
     def disc_reward(self, ts, env_state):
         amp_obs = self.env.amp_obs_flat(env_state)
         return self.agent._calc_disc_rewards(ts, amp_obs)
 
+    def _amp_debug(self, ts, env_state) -> Dict[str, float]:
+        amp_obs = self.env.amp_obs_flat(env_state)[0:1]
+        logit = self.agent._eval_disc(
+            ts.params, self.agent._norm_amp(ts, amp_obs))
+        disc_r = self.agent._calc_disc_rewards(ts, amp_obs)
+        return {
+            "disc_pred": float(np.asarray(logit)[0, 0]),
+            "disc_reward": float(np.asarray(disc_r)[0, 0]),
+        }
+
+    def _probe(self, ts, env_state, roll):
+        out = super()._probe(ts, env_state, roll)
+        out.update(self._amp_debug(ts, env_state))
+        return out
+
 
 class ASEPlayer(AMPPlayer):
-    """Latent-conditioned playback (reference ase_players.py)."""
+    """Latent-conditioned playback. Latent resets on env reset and the
+    scheduled resample run inside the agent's ``_pre_rollout_step`` (reference
+    ``ase_players.py:60-98`` ``_update_latents``/``_reset_latents``); the
+    probe adds the encoder reward of env 0 under its current latent."""
 
     def enc_reward(self, ts, env_state, latents):
         amp_obs = self.env.amp_obs_flat(env_state)
         return self.agent._calc_enc_rewards(ts, amp_obs, latents)
 
+    def _probe(self, ts, env_state, roll):
+        out = super()._probe(ts, env_state, roll)
+        amp_obs = self.env.amp_obs_flat(env_state)[0:1]
+        z = roll["ase_latents"][0:1]
+        enc_r = self.agent._calc_enc_rewards(ts, amp_obs, z)
+        out["enc_reward"] = float(np.asarray(enc_r)[0, 0])
+        return out
+
 
 class HRLPlayer(CommonPlayer):
-    pass
+    """High-level-controller eval (reference ``hrl_players.py:169-208``).
+
+    The policy's action IS a 64-d latent; ``agent._env_step`` drives it
+    through the frozen LLC for ``llc_steps`` inner sim steps per decision, so
+    the player's rollout loop needs no special casing — the probe reports the
+    LLC discriminator's opinion of the resulting motion (the reference prints
+    the per-window averaged disc reward)."""
+
+    def _probe(self, ts, env_state, roll):
+        out = super()._probe(ts, env_state, roll)
+        amp_obs = self.env.amp_obs_flat(env_state)[0:1]
+        disc_r = self.agent._calc_disc_reward(amp_obs)
+        out["llc_disc_reward"] = float(np.asarray(disc_r)[0, 0])
+        return out
 
 
 PLAYER_REGISTRY = {
