@@ -46,7 +46,22 @@ class HumanoidStrike(HumanoidAMPTask):
     def _initial_aux(self, B: int) -> Dict[str, Any]:
         aux = super()._initial_aux(B)
         aux["prev_root_pos"] = jnp.zeros((B, 3))
+        aux["successes"] = jnp.zeros(B)
         return aux
+
+    def post_physics_step(self, state: EnvState) -> EnvState:
+        state = super().post_physics_step(state)
+        # publish per-env success (target knocked over — same cos(tilt) < 0.2
+        # condition as the reward's success override) for the agent's
+        # consecutive-success meters (reference run.py:66-97 RLGPUAlgoObserver
+        # consumes infos['successes'] at done indices)
+        _, tar_rot, _, _ = self._target_states(state)
+        up = jnp.zeros((state.obs.shape[0], 3)).at[:, 2].set(1.0)
+        tar_up = rot.quat_rotate(tar_rot, up)
+        succ = jnp.sum(up * tar_up, axis=-1) < 0.2
+        aux = dict(state.aux)
+        aux["successes"] = succ.astype(jnp.float32)
+        return state.replace(aux=aux)
 
     # -- target placement (reference humanoid_strike.py:107-129) ---------------
 

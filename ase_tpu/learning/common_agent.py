@@ -128,6 +128,10 @@ class CommonAgent:
             "game_lengths_buf": jnp.zeros(K),
             "game_head": jnp.zeros((), jnp.int32),
             "game_total": jnp.zeros(()),
+            # per-game success meter (reference run.py:66-97 RLGPUAlgoObserver
+            # consumes infos['successes'] at done indices into an
+            # AverageMeter); tasks publish aux['successes'] to feed it
+            "game_success_buf": jnp.zeros(K),
             # best-reward watermark for the save-best gate: checkpointed so
             # a resumed run does not overwrite <name>_best.ckpt with a worse
             # policy (reference rl_games last_mean_rewards restore)
@@ -216,7 +220,7 @@ class CommonAgent:
         )
         return jnp.mean(jnp.sum(kl, axis=-1))
 
-    def _update_game_meters(self, extra, rewards, dones):
+    def _update_game_meters(self, extra, rewards, dones, successes=None):
         """Windowed episode meters: ring buffers over the last
         `games_to_track` finished games (rl_games AverageMeter semantics,
         reference common_agent.py:106-117). Finished envs are compacted into
@@ -241,6 +245,10 @@ class CommonAgent:
         extra["game_lengths_buf"] = extra["game_lengths_buf"].at[pos].set(
             cur_l, mode="drop"
         )
+        if successes is not None:
+            extra["game_success_buf"] = extra["game_success_buf"].at[pos].set(
+                successes, mode="drop"
+            )
         extra["game_head"] = (extra["game_head"] + n_fin.astype(jnp.int32)) % K
         extra["game_total"] = extra["game_total"] + n_fin
         extra["cur_rewards"] = cur_r * (1.0 - dones)
@@ -302,7 +310,10 @@ class CommonAgent:
             dones = env_state.reset_buf.astype(jnp.float32)
             terminated = env_state.terminate_buf.astype(jnp.float32)
 
-            ts = ts.replace(extra=self._update_game_meters(ts.extra, rewards, dones))
+            ts = ts.replace(extra=self._update_game_meters(
+                ts.extra, rewards, dones,
+                successes=env_state.aux.get("successes"),
+            ))
 
             next_obs_n = (
                 ts.obs_rms.normalize(env_state.obs)
@@ -547,6 +558,10 @@ class CommonAgent:
         metrics["game_reward_mean"] = jnp.sum(ts.extra["game_rewards_buf"]) / n_games
         metrics["game_length_mean"] = jnp.sum(ts.extra["game_lengths_buf"]) / n_games
         metrics["games_played"] = ts.extra["game_total"]
+        # windowed success rate over the last K games (0 unless the task
+        # publishes aux['successes']; reference consecutive_successes meter)
+        metrics["consecutive_successes_mean"] = (
+            jnp.sum(ts.extra["game_success_buf"]) / n_games)
         return ts, metrics
 
     def _train_epoch_impl(self, ts: TrainState, env_state):
@@ -664,9 +679,11 @@ class CommonAgent:
             # be missing — anything else (wrong checkpoint, renamed field,
             # different network width) raises instead of silently keeping
             # freshly-initialized template values
+            # fields newer than the checkpoint format may be absent
+            new_fields = ("best_mean_rewards", "game_success_buf")
             ts = ckpt.restore(
                 restore_path, ts, strict=True,
-                allow_missing=self._ckpt_exclude() + ("best_mean_rewards",),
+                allow_missing=self._ckpt_exclude() + new_fields,
             )
             start_epoch = int(np.asarray(ts.epoch))
             self._best_mean_rewards = float(

@@ -32,6 +32,45 @@ def test_strike_env():
     assert bool(jnp.all(jnp.isfinite(state.rew)))
     # target stays near the ground under gravity + contacts
     assert float(state.phys.prop_pos[:, 0, 2].min()) > 0.0
+    # success signal published for the observer-style meters: upright target
+    # -> 0; a hand-tipped target -> 1 (reference RLGPUAlgoObserver surface)
+    assert "successes" in state.aux
+    np.testing.assert_array_equal(np.asarray(state.aux["successes"]), 0.0)
+    from ase_tpu.ops import quat as rot
+    tipped = rot.quat_from_angle_axis(
+        jnp.full((2,), np.pi / 2), jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (2, 1)))
+    state_tipped = state.replace(
+        phys=state.phys._replace(prop_quat=state.phys.prop_quat.at[:, 0].set(tipped)))
+    state_tipped = env.post_physics_step(state_tipped)
+    np.testing.assert_array_equal(np.asarray(state_tipped.aux["successes"]), 1.0)
+
+
+def test_success_meter_plumbing():
+    """aux['successes'] flows into the agent's windowed success meter
+    (reference run.py:66-97 consecutive_successes observer)."""
+    import copy
+
+    from ase_tpu.learning.amp_agent import AMPAgent
+    from tests.test_learning import TRAIN_CFG
+
+    cfg = make_cfg(
+        strikeBodyNames=["sword", "right_hand", "right_lower_arm"],
+        enableTaskObs=True, stateInit="Default", numEnvs=2, episodeLength=3,
+    )
+    env = parse_task("HumanoidStrike", cfg)
+    agent = AMPAgent(env, copy.deepcopy(TRAIN_CFG))
+    ts = agent.init_train_state(jax.random.PRNGKey(0))
+    env_state = env.initial_state(jax.random.PRNGKey(1))
+    ts, env_state, metrics = agent.train_epoch(ts, env_state)
+    m = jax.device_get(metrics)
+    # metric exists and is a valid rate (upright targets -> 0.0 here)
+    assert "consecutive_successes_mean" in m
+    assert 0.0 <= float(m["consecutive_successes_mean"]) <= 1.0
+    # direct meter check: a successful finished game lands in the window
+    extra = agent._update_game_meters(
+        ts.extra, jnp.zeros(2), jnp.array([1.0, 0.0]),
+        successes=jnp.array([1.0, 0.0]))
+    assert float(jnp.sum(extra["game_success_buf"])) >= 1.0
 
 
 def test_location_reach_rewards():
