@@ -58,11 +58,21 @@ class NoiseSpec:
 
 
 class DomainRandomizer:
-    """Holds the parsed spec; apply_* methods are pure/jit-safe."""
+    """Holds the parsed spec; apply_* methods are pure/jit-safe.
 
-    def __init__(self, cfg: Optional[Dict[str, Any]]):
+    ``generator`` is the analog of the reference's external
+    ``actor_params_generator`` (reference base_task.py:320-330,388-396): a
+    callable ``(rng, B) -> {scale_name: (B,) array}`` that produces property
+    samples from an arbitrary (e.g. full-covariance, correlated) distribution
+    instead of the per-property independent specs. Returned keys override the
+    independently sampled scales on every due resample; it must be jit-safe
+    (pure function of the rng key).
+    """
+
+    def __init__(self, cfg: Optional[Dict[str, Any]], generator=None):
         cfg = cfg or {}
         self.enabled = bool(cfg)
+        self.generator = generator
         self.frequency = int(cfg.get("frequency", 600))
         self.obs_spec = NoiseSpec(cfg["observations"]) if "observations" in cfg else None
         self.act_spec = NoiseSpec(cfg["actions"]) if "actions" in cfg else None
@@ -156,5 +166,13 @@ class DomainRandomizer:
             out["restitution"] = jnp.clip(_upd(
                 self.restitution_spec, keys[5], scales["restitution"], base),
                 0.0, 1.0)
+        if self.generator is not None:
+            # correlated external samples override the independent draws
+            gen_rng = jax.random.fold_in(rng, 101)
+            for name, v in self.generator(gen_rng, B).items():
+                if name not in out:
+                    raise KeyError(f"actor_params_generator produced unknown "
+                                   f"property {name!r}")
+                out[name] = jnp.where(due, jnp.asarray(v), scales[name])
         out["dr_count"] = scales["dr_count"] + mask.astype(jnp.int32)
         return out

@@ -123,7 +123,10 @@ class Humanoid:
         # domain randomization (reference base_task.py:204-398; --randomize)
         self._randomize = bool(cfg.get("task", {}).get("randomize", False))
         self._dr = DomainRandomizer(
-            cfg.get("task", {}).get("randomization_params") if self._randomize else None
+            cfg.get("task", {}).get("randomization_params") if self._randomize else None,
+            # external correlated-sample generator, injected programmatically
+            # like the reference's actor_params_generator (base_task.py:320)
+            generator=cfg.get("task", {}).get("actor_params_generator"),
         )
 
         self._initial_root_pos = jnp.array([0.0, 0.0, 0.89])

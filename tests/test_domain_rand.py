@@ -216,6 +216,29 @@ def test_randomize_cli_flag_wires_through(tmp_path):
     assert not np.allclose(obs_off, obs_on, atol=1e-6)
 
 
+def test_actor_params_generator_overrides():
+    """An external generator (reference base_task.py:320-330 correlated
+    samples) overrides the independent per-property draws."""
+
+    def gen(rng, B):
+        # fully correlated: friction == mass scale, from one draw
+        v = 1.0 + 0.25 * jax.random.normal(rng, (B,))
+        return {"friction_scale": v, "mass_scale": v}
+
+    dr = DomainRandomizer(_dr_cfg(), generator=gen)
+    scales = dr.init_scales(16)
+    scales = dr.resample_scales(jax.random.PRNGKey(0), scales, jnp.ones(16, bool))
+    f = np.asarray(scales["friction_scale"])
+    m = np.asarray(scales["mass_scale"])
+    np.testing.assert_array_equal(f, m)  # correlation the specs can't produce
+    assert not np.allclose(f, 1.0)
+    # unknown property names fail loudly (reference raises on size mismatch)
+    bad = DomainRandomizer(_dr_cfg(), generator=lambda r, B: {"nope": jnp.ones(B)})
+    s = bad.init_scales(4)
+    with pytest.raises(KeyError):
+        bad.resample_scales(jax.random.PRNGKey(0), s, jnp.ones(4, bool))
+
+
 def test_schedule_ramp():
     """Linear schedules ramp noise with the global step counter."""
     spec = NoiseSpec({"range": [0.0, 1.0], "operation": "additive",
