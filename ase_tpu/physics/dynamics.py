@@ -382,3 +382,91 @@ def limit_torques(model: M.Model, state: State, k_limit: float = 200.0) -> jnp.n
     in_violation = (over > 0) | (under > 0)
     damp = jnp.where(in_violation, 2.0 * jnp.sqrt(k_limit), 0.0)
     return -k_limit * over + k_limit * under - damp * qd * in_violation
+
+
+# -- joint-batched actuation (TPU kernel-count optimization) ------------------
+#
+# The single-env functions above loop over joints in Python; under vmap each
+# joint contributes its own chain of small (B, 3) kernels per substep. The
+# *_batched versions below process all spherical joints as one (B, S, ...)
+# tensor and all hinges as one (B, H) tensor — identical math, a fraction of
+# the dispatches. Equivalence is asserted in tests/test_physics.py.
+
+_DOF_TABLE_CACHE: dict = {}
+
+
+def _dof_tables(model: M.Model):
+    """Static gather/scatter tables mapping stacked-joint tensors onto the
+    (nd,) dof view: (sph_rows S, sph_cols 3S, hinge_rows H, hinge_cols H).
+    Keyed on the model's static joint topology (arrays are unhashable)."""
+    key = (model.jtype, model.dof_body_ids, model.dof_offsets)
+    cached = _DOF_TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    s_ids, h_ids = sph_ids(model), hinge_ids(model)
+    sph_rows, sph_cols, hin_rows, hin_cols = [], [], [], []
+    for j, b in enumerate(model.dof_body_ids):
+        off = model.dof_offsets[j]
+        if model.jtype[b] == M.SPHERICAL:
+            sph_rows.append(s_ids.index(b))
+            sph_cols.extend([off, off + 1, off + 2])
+        else:
+            hin_rows.append(h_ids.index(b))
+            hin_cols.append(off)
+    out = (np.asarray(sph_rows), np.asarray(sph_cols),
+           np.asarray(hin_rows), np.asarray(hin_cols))
+    _DOF_TABLE_CACHE[key] = out
+    return out
+
+
+def dof_pos_batched(model: M.Model, states: State) -> jnp.ndarray:
+    """(B, nd) dof positions for a batched State (see dof_pos)."""
+    sph_rows, sph_cols, hin_rows, hin_cols = _dof_tables(model)
+    B = states.root_pos.shape[0]
+    out = jnp.zeros((B, model.nd))
+    if len(sph_rows):
+        exp = rot.quat_to_exp_map(states.joint_q[:, sph_rows])      # (B, S, 3)
+        out = out.at[:, sph_cols].set(exp.reshape(B, -1))
+    if len(hin_rows):
+        out = out.at[:, hin_cols].set(states.hinge_q[:, hin_rows])
+    return out
+
+
+def pd_torques_batched(model: M.Model, states: State, pd_target: jnp.ndarray,
+                       dt: float, kd_scale=None) -> jnp.ndarray:
+    """(B, nd) Stable-PD torques for a batched State (see pd_torques)."""
+    sph_rows, sph_cols, hin_rows, hin_cols = _dof_tables(model)
+    B = pd_target.shape[0]
+    kp, kd = model.stiffness, model.damping
+    qd = states.u[:, model.root_dofs : model.nu]                    # (B, nd)
+    ks = (kd_scale[:, None] if kd_scale is not None else 1.0)
+    out = jnp.zeros((B, model.nd))
+    if len(sph_rows):
+        q_cur = states.joint_q[:, sph_rows]                         # (B, S, 4)
+        q_tar = rot.exp_map_to_quat(pd_target[:, sph_cols].reshape(B, -1, 3))
+        err = rot.quat_to_exp_map(
+            rot.quat_mul(rot.quat_conjugate(q_cur), q_tar))
+        w_loc = qd[:, sph_cols].reshape(B, -1, 3)
+        kp_s = kp[sph_cols].reshape(-1, 3)
+        kd_s = kd[sph_cols].reshape(-1, 3)
+        ks3 = ks[..., None] if kd_scale is not None else 1.0
+        tau_s = kp_s * (err - dt * w_loc) - kd_s * ks3 * w_loc
+        out = out.at[:, sph_cols].set(tau_s.reshape(B, -1))
+    if len(hin_rows):
+        e = pd_target[:, hin_cols] - states.hinge_q[:, hin_rows]
+        tau_h = (kp[hin_cols] * (e - dt * qd[:, hin_cols])
+                 - kd[hin_cols] * ks * qd[:, hin_cols])
+        out = out.at[:, hin_cols].set(tau_h)
+    return out
+
+
+def limit_torques_batched(model: M.Model, states: State,
+                          k_limit: float = 200.0) -> jnp.ndarray:
+    """(B, nd) soft joint-limit torques for a batched State."""
+    q = dof_pos_batched(model, states)
+    qd = states.u[:, model.root_dofs : model.nu]
+    over = jnp.maximum(q - model.dof_limit_hi, 0.0)
+    under = jnp.maximum(model.dof_limit_lo - q, 0.0)
+    in_violation = (over > 0) | (under > 0)
+    damp = jnp.where(in_violation, 2.0 * jnp.sqrt(k_limit), 0.0)
+    return -k_limit * over + k_limit * under - damp * qd * in_violation

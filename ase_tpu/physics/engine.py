@@ -149,18 +149,28 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
         )
     Amask = jnp.asarray(dynamics.ancestor_mask(model))
 
-    # actuation
+    # actuation: joint-batched Stable-PD + limit torques (the vmapped
+    # per-joint loops are kept behind ASE_TPU_PD_AOS=1 for A/B validation —
+    # they emit a small-kernel chain per joint per substep)
+    pd_aos = os.environ.get("ASE_TPU_PD_AOS", "0") == "1"
     if cfg.torque_control:
         tau = actions * model.motor_gear[None, :] * cfg.power_scale
-    elif damping_scale is not None:
+    elif pd_aos and damping_scale is not None:
         tau = jax.vmap(
             lambda s, a, ks: dynamics.pd_torques(model, s, a, h, kd_scale=ks)
         )(states, actions, damping_scale)
-    else:
+    elif pd_aos:
         tau = jax.vmap(lambda s, a: dynamics.pd_torques(model, s, a, h))(states, actions)
-    tau = tau * gain_scale[:, None] + jax.vmap(
-        lambda s: dynamics.limit_torques(model, s, cfg.limit_stiffness)
-    )(states)
+    else:
+        tau = dynamics.pd_torques_batched(
+            model, states, actions, h, kd_scale=damping_scale)
+    if pd_aos:
+        limit = jax.vmap(
+            lambda s: dynamics.limit_torques(model, s, cfg.limit_stiffness)
+        )(states)
+    else:
+        limit = dynamics.limit_torques_batched(model, states, cfg.limit_stiffness)
+    tau = tau * gain_scale[:, None] + limit
     tau_full = jnp.zeros((Bn, nu)).at[:, model.root_dofs :].set(tau)
 
     # free props: gravity + gyroscopic terms (batched closed form)

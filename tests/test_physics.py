@@ -208,3 +208,51 @@ def test_random_action_stress_self_collision(humanoid):
     assert bool(jnp.all(jnp.isfinite(st.u)))
     joint_u = jnp.abs(st.u[:, 6:])
     assert float(joint_u.max()) <= cfg.max_dof_vel + 1e-3
+
+
+def test_joint_batched_actuation_matches_loop(humanoid):
+    """pd/limit/dof_pos *_batched (one stacked-joint kernel chain) reproduce
+    the per-joint loop functions exactly (engine default vs ASE_TPU_PD_AOS)."""
+    model = humanoid
+    B = 5
+    rng = jax.random.PRNGKey(3)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    one = dynamics.default_state(model)
+    import ase_tpu.ops.quat as rot
+
+    states = dynamics.State(
+        root_pos=jax.random.normal(k1, (B, 3)),
+        root_quat=rot.quat_unit(jax.random.normal(k2, (B, 4))),
+        joint_q=rot.quat_unit(jax.random.normal(k3, (B,) + one.joint_q.shape)),
+        hinge_q=0.5 * jax.random.normal(k4, (B,) + one.hinge_q.shape),
+        u=0.3 * jax.random.normal(k1, (B, model.nv)),
+        prop_pos=jnp.tile(one.prop_pos[None], (B, 1, 1)),
+        prop_quat=jnp.tile(one.prop_quat[None], (B, 1, 1)),
+    )
+    targets = 0.4 * jax.random.normal(k2, (B, model.nd))
+    dt = 1.0 / 120.0
+    kd_scale = jnp.linspace(0.5, 1.5, B)
+
+    q_ref = jax.vmap(lambda s: dynamics.dof_pos(model, s))(states)
+    np.testing.assert_allclose(
+        np.asarray(dynamics.dof_pos_batched(model, states)), np.asarray(q_ref),
+        atol=1e-6)
+
+    tau_ref = jax.vmap(lambda s, a: dynamics.pd_torques(model, s, a, dt))(
+        states, targets)
+    np.testing.assert_allclose(
+        np.asarray(dynamics.pd_torques_batched(model, states, targets, dt)),
+        np.asarray(tau_ref), rtol=1e-5, atol=1e-4)
+
+    tau_ks_ref = jax.vmap(
+        lambda s, a, ks: dynamics.pd_torques(model, s, a, dt, kd_scale=ks)
+    )(states, targets, kd_scale)
+    np.testing.assert_allclose(
+        np.asarray(dynamics.pd_torques_batched(
+            model, states, targets, dt, kd_scale=kd_scale)),
+        np.asarray(tau_ks_ref), rtol=1e-5, atol=1e-4)
+
+    lim_ref = jax.vmap(lambda s: dynamics.limit_torques(model, s, 200.0))(states)
+    np.testing.assert_allclose(
+        np.asarray(dynamics.limit_torques_batched(model, states, 200.0)),
+        np.asarray(lim_ref), rtol=1e-5, atol=1e-4)
