@@ -24,6 +24,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
+from ase_tpu.ops import quat as rot_ops
 from ase_tpu.physics import dynamics
 from ase_tpu.physics import model as M
 
@@ -329,3 +330,119 @@ def compute_dynamics_batch_last(model: M.Model, states, kin, dt: float,
 
     Phi = jnp.stack([c.T for c in phi_a + phi_l], axis=-1)   # (B, nu, 6)
     return M_bl, bias.T, Phi
+
+
+# -- component-form batched FK ------------------------------------------------
+#
+# ``dynamics.fk`` under vmap walks the kinematic tree with (B, 3)/(B, 4)
+# tensors whose trailing dims tile-pad 4 -> 128 lanes on TPU (~97% idle VPU
+# lanes), and it runs three times per sim tick (each substep + the final
+# state refresh). Here every quaternion/vector component is its own (B,)
+# plane (envs dense in lanes); the tree walk is the same static Python loop,
+# but XLA fuses the elementwise component chains into a handful of kernels.
+# Output is the standard ``dynamics.Kin`` (equivalence pinned by
+# tests/test_dynamics2.py).
+
+def _qmul_c(a, b):
+    ax, ay, az, aw = a
+    bx, by, bz, bw = b
+    return (aw * bx + ax * bw + ay * bz - az * by,
+            aw * by + ay * bw + az * bx - ax * bz,
+            aw * bz + az * bw + ax * by - ay * bx,
+            aw * bw - ax * bx - ay * by - az * bz)
+
+
+def _qrot_c(q, v):
+    """Rotate component 3-vector v by component quaternion q:
+    v + 2 w (q×v) + 2 q×(q×v)."""
+    x, y, z, w = q
+    vx, vy, vz = v
+    tx = 2.0 * (y * vz - z * vy)
+    ty = 2.0 * (z * vx - x * vz)
+    tz = 2.0 * (x * vy - y * vx)
+    return (vx + w * tx + (y * tz - z * ty),
+            vy + w * ty + (z * tx - x * tz),
+            vz + w * tz + (x * ty - y * tx))
+
+
+def fk_batched(model: M.Model, states) -> "dynamics.Kin":
+    """Batched position+velocity FK, component-form (see module note)."""
+    nb = model.nb
+    s_ids, h_ids = dynamics.sph_ids(model), dynamics.hinge_ids(model)
+    iq = np.asarray(model.body_iquat)          # (nb, 4) static
+    ip = np.asarray(model.body_ipos)           # (nb, 3)
+    ax = np.asarray(model.joint_axis)          # (nb, 3)
+    com = np.asarray(model.com)[:nb]           # (nb, 3)
+
+    rq = tuple(states.root_quat[:, k] for k in range(4))
+    rp = tuple(states.root_pos[:, k] for k in range(3))
+    u = states.u
+    B = u.shape[0]
+    zero = jnp.zeros(B)
+
+    quats, ps = [], []
+    for b in range(nb):
+        jt = model.jtype[b]
+        if jt == M.FREE:
+            jq = rq
+        elif jt == M.SPHERICAL:
+            s = s_ids.index(b)
+            jq = tuple(states.joint_q[:, s, k] for k in range(4))
+        elif jt == M.REVOLUTE:
+            half = 0.5 * states.hinge_q[:, h_ids.index(b)]
+            sn, cs = jnp.sin(half), jnp.cos(half)
+            jq = (ax[b, 0] * sn, ax[b, 1] * sn, ax[b, 2] * sn, cs)
+        else:
+            jq = (zero, zero, zero, jnp.ones(B))
+        lq = _qmul_c(tuple(iq[b]), jq)
+
+        p = model.parents[b]
+        if p == -1:
+            quats.append(lq)
+            if jt == M.FREE:
+                ps.append(rp)
+            else:
+                ps.append(tuple(rp[k] + ip[b, k] for k in range(3)))
+        else:
+            quats.append(_qmul_c(quats[p], lq))
+            step = _qrot_c(quats[p], tuple(ip[b]))
+            ps.append(tuple(ps[p][k] + step[k] for k in range(3)))
+
+    # velocity FK: w/v of each body at its own origin, world axes
+    vels = [None] * nb
+    for b in range(nb):
+        p = model.parents[b]
+        if p == -1:
+            if model.jtype[b] == M.FREE:
+                w = (u[:, 3], u[:, 4], u[:, 5])
+                v = (u[:, 0], u[:, 1], u[:, 2])
+            else:
+                w = v = (zero, zero, zero)
+        else:
+            wp, vp = vels[p]
+            d = tuple(ps[b][k] - ps[p][k] for k in range(3))
+            v = (vp[0] + wp[1] * d[2] - wp[2] * d[1],
+                 vp[1] + wp[2] * d[0] - wp[0] * d[2],
+                 vp[2] + wp[0] * d[1] - wp[1] * d[0])
+            off = model.dof_offset[b]
+            if model.jtype[b] == M.SPHERICAL:
+                dw = _qrot_c(quats[b], (u[:, off], u[:, off + 1], u[:, off + 2]))
+                w = tuple(wp[k] + dw[k] for k in range(3))
+            elif model.jtype[b] == M.REVOLUTE:
+                aw = _qrot_c(quats[b], tuple(ax[b]))
+                w = tuple(wp[k] + aw[k] * u[:, off] for k in range(3))
+            else:
+                w = wp
+        vels[b] = (w, v)
+
+    body_quat = jnp.stack(
+        [jnp.stack(q, axis=-1) for q in quats], axis=1)            # (B, nb, 4)
+    body_pos = jnp.stack(
+        [jnp.stack(pp, axis=-1) for pp in ps], axis=1)             # (B, nb, 3)
+    body_vel = jnp.stack(
+        [jnp.stack(w + v, axis=-1) for (w, v) in vels], axis=1)    # (B, nb, 6)
+    R = rot_ops.quat_to_rotation_matrix(body_quat)                  # (B, nb, 3, 3)
+    com_c = [_qrot_c(quats[b], tuple(com[b])) for b in range(nb)]
+    com_w = body_pos + jnp.stack(
+        [jnp.stack(c, axis=-1) for c in com_c], axis=1)
+    return dynamics.Kin(R, body_pos, body_quat, body_vel, com_w)

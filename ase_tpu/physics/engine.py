@@ -41,6 +41,14 @@ from ase_tpu.physics.dynamics import State
 _einsum = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 
+def _fk(model, states):
+    """Batched FK: component-form (envs dense in lanes) by default; the
+    vmapped per-body tree walk stays behind ASE_TPU_FK_AOS=1 for A/B."""
+    if os.environ.get("ASE_TPU_FK_AOS", "0") == "1":
+        return jax.vmap(lambda s: dynamics.fk(model, s))(states)
+    return dynamics2.fk_batched(model, states)
+
+
 class SimConfig(NamedTuple):
     dt: float = 1.0 / 60.0             # SIM_TIMESTEP (reference config.py:12)
     substeps: int = 2
@@ -128,7 +136,7 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
     nu = model.nu
     Bn = actions.shape[0]
 
-    kin = jax.vmap(lambda s: dynamics.fk(model, s))(states)
+    kin = _fk(model, states)
     if os.environ.get("ASE_TPU_DYNAMICS_AOS", "0") == "1":
         dyn_ref = jax.vmap(
             lambda s, k: dynamics.compute_dynamics(model, s, k, h)
@@ -390,7 +398,7 @@ def step_batched(model: M.Model, cfg: SimConfig, tables, states: State,
         body, (states, init_forces, init_tau), None, length=cfg.substeps
     )
 
-    kin = jax.vmap(lambda s: dynamics.fk(model, s))(states)
+    kin = _fk(model, states)
     return StepOut(
         state=states,
         body_pos=kin.body_pos,

@@ -46,3 +46,32 @@ def test_batch_last_dynamics_matches_reference(asset):
         np.asarray(bias), np.asarray(ref.bias), atol=2e-5 * bscale
     )
     np.testing.assert_allclose(np.asarray(Phi), np.asarray(ref.Phi), atol=1e-5)
+
+
+@pytest.mark.parametrize("asset", ASSETS)
+def test_fk_batched_matches_reference(asset):
+    """Component-form batched FK == vmapped tree-walk FK on random states
+    (engine default vs ASE_TPU_FK_AOS=1)."""
+    m = mjcf.load_mjcf(asset)
+    B = 12
+    st = engine.batch_default_state(m, B)
+    k1, k2, k3, k4, k5 = jax.random.split(jax.random.PRNGKey(11), 5)
+    st = st._replace(
+        root_pos=jax.random.normal(k1, (B, 3)),
+        root_quat=rot.quat_unit(jax.random.normal(k2, (B, 4))),
+        joint_q=rot.quat_unit(jax.random.normal(k3, st.joint_q.shape)),
+        hinge_q=0.7 * jax.random.normal(k4, st.hinge_q.shape),
+        u=st.u.at[:, : m.nv].set(jax.random.normal(k5, (B, m.nv))),
+    )
+    ref = jax.vmap(lambda s: dynamics.fk(m, s))(st)
+    out = jax.jit(lambda s: dynamics2.fk_batched(m, s))(st)
+    np.testing.assert_allclose(np.asarray(out.body_quat),
+                               np.asarray(ref.body_quat), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.body_pos),
+                               np.asarray(ref.body_pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.body_R),
+                               np.asarray(ref.body_R), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.body_vel),
+                               np.asarray(ref.body_vel), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.com_world),
+                               np.asarray(ref.com_world), atol=1e-5)
