@@ -21,7 +21,7 @@ from flax import struct
 from ase_tpu.envs import obs as obs_kernels
 from ase_tpu.envs.domain_rand import DomainRandomizer
 from ase_tpu.ops import quat as rot
-from ase_tpu.physics import collision2, dynamics, engine, mjcf
+from ase_tpu.physics import collision2, dynamics, dynamics2, engine, mjcf
 from ase_tpu.physics import model as M
 
 
@@ -242,7 +242,7 @@ class Humanoid:
     # -- kinematic refresh (the analog of refresh_*_tensor views) ------------
 
     def _refresh_kinematics(self, state: EnvState) -> EnvState:
-        kin = jax.vmap(lambda s: dynamics.fk(self.model, s))(state.phys)
+        kin = dynamics2.fk_batched(self.model, state.phys)
         return state.replace(
             body_pos=kin.body_pos,
             body_quat=kin.body_quat,
