@@ -11,6 +11,7 @@ state merges (the JAX-native analog of the reference's
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -261,39 +262,106 @@ class Humanoid:
         handful of envs reset on a typical step."""
         chunk = self.reset_chunk
         if chunk and chunk < self.num_envs:
-            # argsort-based exact top-k (lax.top_k lowers much slower on TPU)
-            idx = jnp.argsort(-state.reset_buf)[:chunk]
+            # compact the flagged env ids into the chunk with a cumsum rank
+            # (a full-width argsort cost ~0.7 ms/step at 4096 envs; the
+            # scatter-compaction is a fused elementwise+scatter). Overflow
+            # beyond the chunk spills to later steps exactly as before;
+            # unfilled slots alias env 0, whose reset_buf==0 rows pass
+            # through _reset_envs' masked merges unchanged.
+            flag = state.reset_buf > 0
+            rank = jnp.cumsum(flag) - 1
+            pos = jnp.where(flag, rank, chunk)
+            idx = (jnp.zeros(chunk, jnp.int32)
+                   .at[pos].set(jnp.arange(self.num_envs, dtype=jnp.int32),
+                                mode="drop"))
+            # slots beyond the number of flagged envs alias env 0 (the
+            # scatter default): never reset them and drop their write-back,
+            # or a genuinely-resetting env 0 would race its own duplicates
+            valid = jnp.arange(chunk) < jnp.minimum(jnp.sum(flag), chunk)
             sub = self._gather_env_state(state, idx)
-            sub = self._reset_envs(sub, sub.reset_buf > 0)
-            return self._scatter_env_state(state, sub, idx)
+            sub = self._reset_envs(sub, (sub.reset_buf > 0) & valid)
+            return self._scatter_env_state(
+                state, sub, jnp.where(valid, idx, self.num_envs))
         mask = state.reset_buf > 0
         return self._reset_envs(state, mask)
+
+    # Per-leaf gather/scatter dispatches ~60 kernels per rollout step (~30
+    # EnvState leaves x 2) — measured 3.3 ms/step at 4096 envs, dispatch-
+    # bound, dwarfing the actual reset compute. The packed path concatenates
+    # every float (B, ...) leaf into ONE (B, D) matrix so the gather and the
+    # scatter are one kernel each; integer/bool leaves (a handful) stay
+    # per-leaf. ASE_TPU_PACKED_RESET=0 restores the per-leaf path.
+
+    def _leaf_split(self, leaves):
+        """Indices of packable float leaves vs other per-env leaves."""
+        B = self.num_envs
+        f_idx, o_idx = [], []
+        for i, x in enumerate(leaves):
+            if not (hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == B):
+                continue
+            if jnp.issubdtype(x.dtype, jnp.floating) and x.dtype == jnp.float32:
+                f_idx.append(i)
+            else:
+                o_idx.append(i)
+        return f_idx, o_idx
 
     def _gather_env_state(self, state: EnvState, idx: jnp.ndarray) -> EnvState:
         rng = state.rng
         B = self.num_envs
+        state0 = state.replace(rng=jnp.zeros(()))
 
-        def g(x):
-            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == B:
-                return x[idx]
-            return x
+        if os.environ.get("ASE_TPU_PACKED_RESET", "1") != "1":
+            def g(x):
+                if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == B:
+                    return x[idx]
+                return x
 
-        sub = jax.tree_util.tree_map(g, state.replace(rng=jnp.zeros(())))
-        return sub.replace(rng=rng)
+            return jax.tree_util.tree_map(g, state0).replace(rng=rng)
+
+        leaves, treedef = jax.tree_util.tree_flatten(state0)
+        f_idx, o_idx = self._leaf_split(leaves)
+        X = jnp.concatenate([leaves[i].reshape(B, -1) for i in f_idx], axis=1)
+        sub_X = X[idx]
+        out = list(leaves)
+        off = 0
+        for i in f_idx:
+            n = int(np.prod(leaves[i].shape[1:], dtype=np.int64)) if leaves[i].ndim > 1 else 1
+            out[i] = sub_X[:, off:off + n].reshape((idx.shape[0],) + leaves[i].shape[1:])
+            off += n
+        for i in o_idx:
+            out[i] = leaves[i][idx]
+        return jax.tree_util.tree_unflatten(treedef, out).replace(rng=rng)
 
     def _scatter_env_state(self, state: EnvState, sub: EnvState, idx: jnp.ndarray) -> EnvState:
         rng = sub.rng
         B = self.num_envs
+        state0 = state.replace(rng=jnp.zeros(()))
+        sub0 = sub.replace(rng=jnp.zeros(()))
 
-        def s(x, y):
-            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == B:
-                return x.at[idx].set(y)
-            return x
+        if os.environ.get("ASE_TPU_PACKED_RESET", "1") != "1":
+            def s(x, y):
+                if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == B:
+                    return x.at[idx].set(y)
+                return x
 
-        out = jax.tree_util.tree_map(
-            s, state.replace(rng=jnp.zeros(())), sub.replace(rng=jnp.zeros(()))
-        )
-        return out.replace(rng=rng)
+            return jax.tree_util.tree_map(s, state0, sub0).replace(rng=rng)
+
+        leaves, treedef = jax.tree_util.tree_flatten(state0)
+        sub_leaves = jax.tree_util.tree_flatten(sub0)[0]
+        f_idx, o_idx = self._leaf_split(leaves)
+        C = idx.shape[0]
+        X = jnp.concatenate([leaves[i].reshape(B, -1) for i in f_idx], axis=1)
+        sub_X = jnp.concatenate([sub_leaves[i].reshape(C, -1) for i in f_idx], axis=1)
+        X_new = X.at[idx].set(sub_X)  # out-of-range (dropped) slots skipped
+        out = list(leaves)
+        off = 0
+        for i in f_idx:
+            n = int(np.prod(leaves[i].shape[1:], dtype=np.int64)) if leaves[i].ndim > 1 else 1
+            out[i] = X_new[:, off:off + n].reshape(leaves[i].shape)
+            off += n
+        for i in o_idx:
+            out[i] = leaves[i].at[idx].set(sub_leaves[i])
+        return jax.tree_util.tree_unflatten(treedef, out).replace(rng=rng)
 
     def _reset_envs(self, state: EnvState, mask: jnp.ndarray) -> EnvState:
         if self._dr.enabled:

@@ -155,3 +155,29 @@ def test_getup_env():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+def test_chunked_reset_compaction():
+    """Chunked reset_done resets exactly the flagged envs (up to the chunk),
+    spills the rest, and leaves unflagged envs untouched — including the
+    env-0 aliasing corner of the scatter compaction."""
+    cfg = make_cfg(numEnvs=8, resetChunk=4, stateInit="Default")
+    env = parse_task("HumanoidAMP", cfg)
+    state = env.initial_state(jax.random.PRNGKey(0))
+    state = state.replace(progress=jnp.full(8, 7, jnp.int32))
+
+    # env 0 flagged (the alias corner) + 2 others, under the chunk size
+    flags = jnp.zeros(8, jnp.int32).at[jnp.array([0, 3, 6])].set(1)
+    out = jax.jit(env.reset_done)(state.replace(reset_buf=flags))
+    prog = np.asarray(out.progress)
+    assert list(np.where(prog == 0)[0]) == [0, 3, 6]
+    assert np.all(np.asarray(out.reset_buf) == 0)
+    # unflagged envs' physics untouched
+    np.testing.assert_array_equal(
+        np.asarray(out.phys.root_pos[1]), np.asarray(state.phys.root_pos[1]))
+
+    # more flagged than the chunk: exactly chunk reset, rest spill
+    out2 = jax.jit(env.reset_done)(state.replace(reset_buf=jnp.ones(8, jnp.int32)))
+    prog2 = np.asarray(out2.progress)
+    assert int(np.sum(prog2 == 0)) == 4
+    assert int(np.sum(np.asarray(out2.reset_buf) > 0)) == 4
