@@ -232,14 +232,14 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
         # instead of full two-sided solves for qdd and W. Factor + forward
         # substitution run fused in a single VMEM-resident Pallas kernel
         # (ops/pallas_chol.py) on TPU.
-        JT = solver2.contact_jacobian_t(
+        JT_bl, JT_prop = solver2.contact_jacobian_t_bl(
             model, contacts, Phi, Amask, states.root_pos, states.prop_pos
-        )                                                              # (B, nv, 3K)
-        nc3 = JT.shape[-1]
+        )                                                   # (nu, 3K, B), (B, 6np, 3K)
+        nc3 = JT_bl.shape[1]
         rhs_bl = jnp.concatenate(
             [
                 (tau_full - bias).T[:, None, :],                       # (nu, 1, B)
-                jnp.transpose(JT[:, :nu, :], (1, 2, 0)),               # (nu, 3K, B)
+                JT_bl,                                                 # (nu, 3K, B)
             ],
             axis=1,
         )
@@ -248,24 +248,25 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
         Z = Y[:, 1:, :]                                                # (nu, 3K, B)
 
         A = _einsum("vib,vjb->bij", Z, Z)                              # Delassus
-        v0f = (
-            _einsum("bvi,bv->bi", JT[:, :nu, :], states.u[:, :nu])
-            + h * _einsum("vib,vb->bi", Z, y0)
-        )
+        v_art_cur = _einsum("vib,bv->bi", JT_bl, states.u[:, :nu])
+        v0f = v_art_cur + h * _einsum("vib,vb->bi", Z, y0)
         if model.num_props > 0:
-            Jp = JT[:, nu:, :].reshape(Bn, model.num_props, 6, -1)
+            Jp = JT_prop.reshape(Bn, model.num_props, 6, -1)
             lin = Jp[:, :, 0:3, :] / model.mass[None, model.nb :, None, None]
             I_w_inv = linalg3.inv3(I_w)
             ang = _einsum("bpij,bpjm->bpim", I_w_inv, Jp[:, :, 3:6, :])
             W_prop = jnp.concatenate([lin, ang], axis=2).reshape(Bn, -1, nc3)
-            JT_prop = JT[:, nu:, :]
             A = A + _einsum("bvi,bvj->bij", JT_prop, W_prop)
             v0f = v0f + _einsum("bvi,bv->bi", JT_prop, u_free_prop)
 
         if restitution is not None:
             # pre-solve normal contact velocities for the Newton bounce
             # target (only materialized when the restitution DR knob is on)
-            vn_pre = _einsum("bvi,bv->bi", JT, states.u)[:, : JT.shape[-1] // 3]
+            vn_pre = v_art_cur
+            if model.num_props > 0:
+                vn_pre = vn_pre + _einsum(
+                    "bvi,bv->bi", JT_prop, states.u[:, nu:])
+            vn_pre = vn_pre[:, : nc3 // 3]
             lam_f = solver2.jacobi_lambda(
                 contacts, A, v0f, h, cfg.solver,
                 restitution=restitution, vn_pre=vn_pre,

@@ -119,6 +119,81 @@ def contact_jacobian_t(
     return jnp.concatenate([JT_art, JT_prop], axis=1)
 
 
+def contact_jacobian_t_bl(
+    model: M.Model,
+    contacts: Contacts,     # batched (B, K, ...)
+    Phi: jnp.ndarray,       # (B, nu, 6)
+    Amask: jnp.ndarray,     # (nb, nu) static
+    origin: jnp.ndarray,    # (B, 3)
+    prop_pos: jnp.ndarray,  # (B, np, 3)
+):
+    """Batch-last twin of :func:`contact_jacobian_t`.
+
+    Returns (JT_art_bl (nu, 3K, B), JT_prop (B, np*6, 3K) or None). The
+    articulation block is born in the (nu, 3K, B) layout the Z-form solve
+    consumes directly (rhs concat + forward substitution), eliminating the
+    ~44 MB (B, nu, 3K) -> (nu, 3K, B) transpose the engine paid per substep
+    (trace-measured layout copies ~0.6 ms/substep at 4096 envs). Parity with
+    the batch-first builder is pinned in tests/test_solver2.py.
+    """
+    B, K = contacts.depth.shape
+    nb, nu = model.nb, model.nu
+
+    n, t1, t2 = _basis_comps(contacts.normal)
+    lever = tuple(contacts.pos[..., k] - origin[:, k : k + 1] for k in range(3))
+    # batch-last component planes
+    Pa = tuple(Phi[..., k].T for k in range(3))          # (nu, B) angular
+    Pl = tuple(Phi[..., 3 + k].T for k in range(3))      # linear
+
+    # ancestor-dof masks, output born (nu, K, B): dot_general output dim
+    # order is (lhs free v, rhs free k, b) — no transpose inserted
+    oh = (
+        (contacts.body_a[..., None] == jnp.arange(nb)).astype(jnp.float32)
+        - (contacts.body_b[..., None] == jnp.arange(nb)).astype(jnp.float32)
+    )                                                    # (B, K, nb)
+    mdiff = _einsum("cv,bkc->vkb", Amask, oh)            # (nu, K, B)
+
+    def art_block(b):
+        c = _cross(lever, b)
+        core = sum(
+            Pl[x][:, None, :] * b[x].T[None, :, :]
+            + Pa[x][:, None, :] * c[x].T[None, :, :]
+            for x in range(3)
+        )                                                # (nu, K, B)
+        return mdiff * core
+
+    JT_art_bl = jnp.concatenate(
+        [art_block(n), art_block(t1), art_block(t2)], axis=1
+    )                                                    # (nu, 3K, B)
+
+    if model.num_props == 0:
+        return JT_art_bl, None
+
+    rows = []
+    for p in range(model.num_props):
+        pid = nb + p
+        sgn = (
+            (contacts.body_a == pid).astype(jnp.float32)
+            - (contacts.body_b == pid).astype(jnp.float32)
+        )                                                # (B, K)
+        r = tuple(
+            contacts.pos[..., k] - prop_pos[:, p, k : k + 1] for k in range(3)
+        )
+        lin_rows = [[], [], []]
+        ang_rows = [[], [], []]
+        for b in (n, t1, t2):
+            rxb = _cross(r, b)
+            for x in range(3):
+                lin_rows[x].append(b[x] * sgn)
+                ang_rows[x].append(rxb[x] * sgn)
+        for x in range(3):
+            rows.append(jnp.concatenate(lin_rows[x], axis=1))   # (B, 3K)
+        for x in range(3):
+            rows.append(jnp.concatenate(ang_rows[x], axis=1))
+    JT_prop = jnp.stack(rows, axis=1)                    # (B, np*6, 3K)
+    return JT_art_bl, JT_prop
+
+
 def _inv3_comps(D):
     """Adjugate inverse of 3x3 blocks given as a (3,3) nest of (B,K)."""
     a, b, c = D[0][0], D[0][1], D[0][2]

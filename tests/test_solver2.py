@@ -59,3 +59,41 @@ def test_cg_contact_pipeline_matches_block(asset, z):
         np.asarray(c.contact_forces), np.asarray(a.contact_forces),
         atol=1e-3 * fmax,
     )
+
+
+def test_contact_jacobian_bl_matches_batch_first():
+    """contact_jacobian_t_bl (born batch-last) == transpose of the batch-
+    first builder, articulation + prop blocks, on real strike-env contacts."""
+    from ase_tpu.envs import parse_task
+    from ase_tpu.physics import collision3, dynamics, dynamics2, solver2
+    from tests.test_env import make_cfg
+
+    cfg = make_cfg(
+        strikeBodyNames=["sword", "right_hand", "right_lower_arm"],
+        enableTaskObs=True, stateInit="Default", numEnvs=4,
+    )
+    env = parse_task("HumanoidStrike", cfg)
+    m = env.model
+    state = env.initial_state(jax.random.PRNGKey(0))
+    # a couple of steps so the character loads its contacts
+    for _ in range(2):
+        state = jax.jit(env.step)(state, jnp.zeros((4, m.nd)))
+    phys = state.phys
+    kin = dynamics2.fk_batched(m, phys)
+    h = 1.0 / 120.0
+    _, _, Phi = dynamics2.compute_dynamics_batch_last(m, phys, kin, h)
+    Amask = jnp.asarray(dynamics.ancestor_mask(m))
+    tables = env._tables
+    contacts = collision3.detect_batched(
+        m, tables.soa, kin.body_quat, kin.body_pos, phys.prop_quat,
+        phys.prop_pos, env.sim_cfg.max_contacts)
+
+    JT = solver2.contact_jacobian_t(
+        m, contacts, Phi, Amask, phys.root_pos, phys.prop_pos)
+    JT_bl, JT_prop = solver2.contact_jacobian_t_bl(
+        m, contacts, Phi, Amask, phys.root_pos, phys.prop_pos)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(JT_bl, (2, 0, 1))),
+        np.asarray(JT[:, : m.nu, :]), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(JT_prop), np.asarray(JT[:, m.nu :, :]), atol=1e-5)
