@@ -3,11 +3,11 @@
 * MJCF → SkeletonTree (reference mjcf_importer.py)
 * T-pose generation for the AMP humanoid (reference
   generate_amp_humanoid_tpose.py:20-31 arm rotations)
-* FBX import: the Autodesk FBX SDK is a closed-source C++ dependency; this
-  build gates it — if the ``fbx`` python bindings are importable we parse
-  curves the same way (root joint by longest animation curve, per-frame local
-  transform sampling), otherwise a clear error points users at pre-converted
-  .npy clips (the shipped 87-clip dataset is already .npy).
+* FBX import: unlike the reference (gated on the closed-source Autodesk FBX
+  SDK, ``poselib/skeleton/backend/fbx/fbx_backend.py:11-16``), this build
+  ships a pure-Python FBX binary reader (``ase_tpu/motion/fbx.py``) — root
+  joint by longest animation curve, per-frame local transform sampling, same
+  semantics, no SDK.
 """
 
 from __future__ import annotations
@@ -51,18 +51,56 @@ def generate_amp_humanoid_tpose(mjcf_path: str):
     return tree, local_rot, root
 
 
-def import_fbx(path: str, fps: Optional[float] = None):
-    """Parse an FBX mocap file if the Autodesk SDK bindings are available."""
-    try:
-        import fbx  # type: ignore  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "FBX import requires the Autodesk FBX Python SDK (closed-source, "
-            "not bundled). Convert clips offline with the reference tooling or "
-            "use pre-converted .npy SkeletonMotion files — this framework "
-            "reads that format directly (ase_tpu.motion.motion_lib)."
-        ) from e
-    raise NotImplementedError(
-        "FBX SDK detected but the import path is not wired in this build; "
-        "use .npy clips."
+def import_fbx(
+    path: str,
+    fps: Optional[float] = None,
+    root_joint: Optional[str] = None,
+):
+    """FBX mocap file → (SkeletonTree, local_rotation (T,J,4) xyzw,
+    root_translation (T,3), fps).
+
+    Mirrors the reference's ``SkeletonMotion.from_fbx``
+    (``poselib/skeleton/skeleton3d.py:1164-1212``: skeleton from the first
+    mocap frame, local rotations + root-joint translation track) but uses the
+    bundled pure-Python FBX binary reader instead of the Autodesk SDK.
+    """
+    from ase_tpu.motion import fbx as fbx_mod
+
+    names, parents, local_rot, local_t, root_t, out_fps = fbx_mod.load_mocap(
+        path, fps=fps, root_joint=root_joint
     )
+    tree = SkeletonTree(
+        node_names=tuple(names),
+        parent_indices=tuple(parents),
+        local_translation=local_t[0].astype(np.float32),
+    )
+    return tree, local_rot, root_t, out_fps
+
+
+def fbx_to_motion_dict(
+    path: str,
+    fps: Optional[float] = None,
+    root_joint: Optional[str] = None,
+) -> dict:
+    """FBX file → the reference ``SkeletonMotion`` Serializable dict layout
+    (what ``.npy`` clips store — see motion_lib.load_motion_npy), with
+    velocities precomputed like the reference's ``to_file`` path."""
+    from ase_tpu.motion import skeleton as sk
+
+    tree, local_rot, root_t, out_fps = import_fbx(path, fps, root_joint)
+    grs, gts = sk.np_fk(tree, local_rot, root_t)
+    gv, gav = sk.compute_velocities(gts, grs, out_fps)
+    return {
+        "rotation": {"arr": local_rot.astype(np.float64),
+                     "context": {"dtype": "float64"}},
+        "root_translation": {"arr": root_t.astype(np.float64),
+                             "context": {"dtype": "float64"}},
+        "global_velocity": {"arr": gv.astype(np.float64),
+                            "context": {"dtype": "float64"}},
+        "global_angular_velocity": {"arr": gav.astype(np.float64),
+                                    "context": {"dtype": "float64"}},
+        "skeleton_tree": tree.to_dict(),
+        "is_local": True,
+        "fps": float(out_fps),
+        "__name__": "SkeletonMotion",
+    }

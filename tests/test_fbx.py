@@ -1,0 +1,108 @@
+"""FBX importer tests against the vendored CMU mocap clip.
+
+The reference's FBX path needs the closed Autodesk SDK
+(``poselib/skeleton/backend/fbx/fbx_backend.py``); ours is a pure-Python
+binary parser (``ase_tpu/motion/fbx.py``), so these tests exercise the real
+import path end to end: parse → skeleton/curves → SkeletonMotion dict →
+motion_lib round-trip.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from ase_tpu.utils import paths
+
+CLIP = paths.data_path("poselib", "09_11_cmu.fbx")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(CLIP), reason="vendored CMU fbx clip missing"
+)
+
+
+@pytest.fixture(scope="module")
+def mocap():
+    from ase_tpu.motion import fbx
+
+    return fbx.load_mocap(CLIP)
+
+
+def test_parse_structure(mocap):
+    names, parents, local_rot, local_t, root_t, fps = mocap
+    J = len(names)
+    assert names[0] == "Hips" and parents[0] == -1
+    assert J > 20  # CMU skeleton incl. end-effector nodes
+    # valid topologically-sorted tree
+    for i, p in enumerate(parents[1:], start=1):
+        assert 0 <= p < i
+    assert fps == 120.0  # CMU clips are keyed at 120 Hz
+    T = local_rot.shape[0]
+    assert T > 100 and local_rot.shape == (T, J, 4)
+    assert root_t.shape == (T, 3)
+    # unit quaternions
+    np.testing.assert_allclose(
+        np.linalg.norm(local_rot, axis=-1), 1.0, atol=1e-5
+    )
+
+
+def test_rigid_bones(mocap):
+    """Mocap animates rotations + root translation only: every non-root
+    joint's local translation must be constant over time (rigid bones)."""
+    names, parents, local_rot, local_t, root_t, fps = mocap
+    drift = np.abs(local_t[:, 1:] - local_t[0:1, 1:]).max()
+    assert drift < 1e-4
+    # the root translation track moves (it's a walking/locomotion clip)
+    assert np.ptp(root_t, axis=0).max() > 1.0
+
+
+def test_fk_smoothness(mocap):
+    """FK world positions must be temporally smooth at 120 fps — catches
+    Euler-order / pre-rotation composition errors, which show up as joint
+    flips between frames."""
+    from ase_tpu.motion.skeleton import SkeletonTree, np_fk
+
+    names, parents, local_rot, local_t, root_t, fps = mocap
+    tree = SkeletonTree(tuple(names), tuple(parents), local_t[0])
+    grs, gts = np_fk(tree, local_rot, root_t)
+    # largest per-frame joint displacement, relative to skeleton size.
+    # Frame 0 is excluded: the cgspeed CMU→FBX conversions key a rest pose
+    # on the first frame (verified in the raw curves), so frame 0→1 jumps
+    # in the data itself.
+    size = np.linalg.norm(np.ptp(gts[0], axis=0))
+    step = np.linalg.norm(gts[2:] - gts[1:-1], axis=-1).max()
+    assert step < 0.2 * size
+    # bones rigid in world space too
+    j = len(names) - 1
+    p = parents[j]
+    bone = np.linalg.norm(gts[:, j] - gts[:, p], axis=-1)
+    np.testing.assert_allclose(bone, bone[0], atol=1e-3 * max(bone[0], 1.0))
+
+
+def test_motion_dict_roundtrip(tmp_path, mocap):
+    """fbx → Serializable dict → .npy → motion_lib.load_motion_npy."""
+    from ase_tpu.motion.importers import fbx_to_motion_dict
+    from ase_tpu.motion.motion_lib import load_motion_npy
+
+    d = fbx_to_motion_dict(CLIP, fps=60.0)
+    out = os.path.join(tmp_path, "clip.npy")
+    np.save(out, d, allow_pickle=True)
+    tree, local_rot, root_t, fps, gv, gav = load_motion_npy(out)
+    assert fps == 60.0
+    names, _, lr120, _, _, _ = mocap
+    assert tuple(tree.node_names) == tuple(names)
+    # 60 fps resample has ~half the frames of the native 120 fps track
+    assert abs(local_rot.shape[0] - lr120.shape[0] / 2) <= 2
+    assert np.isfinite(gv).all() and np.isfinite(gav).all()
+
+
+def test_explicit_root_joint_and_fps(mocap):
+    from ase_tpu.motion import fbx
+
+    names, parents, lr, lt, rt, fps = fbx.load_mocap(
+        CLIP, fps=30.0, root_joint="Hips"
+    )
+    names0 = mocap[0]
+    assert names == names0
+    assert fps == 30.0
+    assert abs(lr.shape[0] - mocap[2].shape[0] / 4) <= 2
