@@ -423,13 +423,15 @@ class Humanoid:
             fs = jnp.ones(self.num_envs)
             gs = jnp.ones(self.num_envs)
             ms = grav = ds = rest = None
+        kin0 = None
         for _ in range(self.control_freq_inv):
             out = engine.step_batched(
                 self.model, self.sim_cfg, self._tables, phys, tgt, fs, gs,
                 mass_scale=ms, gravity_scale=grav, damping_scale=ds,
-                restitution=rest,
+                restitution=rest, kin0=kin0,
             )
             phys = out.state
+            kin0 = out.kin  # reuse this tick's final FK as the next tick's
         state = state.replace(
             phys=phys,
             body_pos=out.body_pos,

@@ -73,6 +73,8 @@ class StepOut(NamedTuple):
     dof_forces: jnp.ndarray      # (B, nd) applied actuation+limit torques
                                  # (Isaac acquire_dof_force_tensor parity,
                                  #  reference humanoid.py force-sensor setup)
+    kin: "dynamics.Kin" = None   # FK of `state` — feed back as `kin0` on the
+                                 # next tick to skip the redundant re-FK
 
 
 def _chol_batched(Mb: jnp.ndarray) -> jnp.ndarray:
@@ -131,12 +133,13 @@ def _chol_solve_batched(L: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
 def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
                      actions: jnp.ndarray, friction_scale, gain_scale,
                      mass_scale=None, gravity_scale=None, damping_scale=None,
-                     restitution=None):
+                     restitution=None, kin=None):
     h = cfg.dt / cfg.substeps
     nu = model.nu
     Bn = actions.shape[0]
 
-    kin = _fk(model, states)
+    if kin is None:
+        kin = _fk(model, states)
     if os.environ.get("ASE_TPU_DYNAMICS_AOS", "0") == "1":
         dyn_ref = jax.vmap(
             lambda s, k: dynamics.compute_dynamics(model, s, k, h)
@@ -371,13 +374,18 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
 def step_batched(model: M.Model, cfg: SimConfig, tables, states: State,
                  actions: jnp.ndarray, friction_scale=None, gain_scale=None,
                  mass_scale=None, gravity_scale=None, damping_scale=None,
-                 restitution=None) -> StepOut:
+                 restitution=None, kin0=None) -> StepOut:
     """Advance one sim tick (cfg.substeps solver substeps), batched envs.
 
     friction/gain/mass/gravity/damping_scale and restitution are per-env
     domain-randomization knobs (reference base_task.py:306-386
     apply_randomizations: rigid_shape friction/restitution, dof
-    stiffness/damping, rigid_body mass, sim gravity)."""
+    stiffness/damping, rigid_body mass, sim gravity).
+
+    ``kin0`` is an optional precomputed FK of ``states`` (e.g. the ``kin``
+    field of the previous tick's StepOut); passing it skips one full-batch
+    FK per tick. FK otherwise runs once per substep — at the end, on the new
+    state — so the last substep's FK doubles as the output refresh."""
     B = actions.shape[0]
     if friction_scale is None:
         friction_scale = jnp.ones(B)
@@ -385,21 +393,21 @@ def step_batched(model: M.Model, cfg: SimConfig, tables, states: State,
         gain_scale = jnp.ones(B)
 
     def body(carry, _):
-        st, _, _ = carry
+        st, kin, _, _ = carry
         st, forces, tau = _substep_batched(
             model, cfg, tables, st, actions, friction_scale, gain_scale,
             mass_scale=mass_scale, gravity_scale=gravity_scale,
-            damping_scale=damping_scale, restitution=restitution,
+            damping_scale=damping_scale, restitution=restitution, kin=kin,
         )
-        return (st, forces, tau), None
+        return (st, _fk(model, st), forces, tau), None
 
+    kin = kin0 if kin0 is not None else _fk(model, states)
     init_forces = jnp.zeros((B, model.nb + model.num_props, 3))
     init_tau = jnp.zeros((B, model.nd))
-    (states, forces, dof_forces), _ = jax.lax.scan(
-        body, (states, init_forces, init_tau), None, length=cfg.substeps
+    (states, kin, forces, dof_forces), _ = jax.lax.scan(
+        body, (states, kin, init_forces, init_tau), None, length=cfg.substeps
     )
 
-    kin = _fk(model, states)
     return StepOut(
         state=states,
         body_pos=kin.body_pos,
@@ -408,6 +416,7 @@ def step_batched(model: M.Model, cfg: SimConfig, tables, states: State,
         body_ang_vel=kin.body_vel[..., 0:3],
         contact_forces=forces,
         dof_forces=dof_forces,
+        kin=kin,
     )
 
 

@@ -73,5 +73,67 @@ def main():
         print("trace written to", outdir)
 
 
+def main_epoch():
+    """Time the train epoch's rollout and update phases separately (the
+    split-epoch jits), on the bench workload. Use --trace-epoch for a trace
+    of one update phase."""
+    os.environ["ASE_TPU_SPLIT_EPOCH"] = "1"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    import yaml
+
+    from ase_tpu.envs import parse_task
+    from ase_tpu.learning.ase_agent import ASEAgent
+    from ase_tpu.utils import paths
+
+    num_envs = int(os.environ.get("PROF_NUM_ENVS", 4096))
+    cfg = yaml.safe_load(
+        open(os.path.join(root, "data/cfg/humanoid_ase_sword_shield_getup.yaml")))
+    cfg["env"]["numEnvs"] = num_envs
+    cfg["env"]["motion_file"] = paths.default_dataset()
+    cfg_train = yaml.safe_load(
+        open(os.path.join(root, "data/cfg/train/rlg/ase_humanoid.yaml")))
+    c = cfg_train["params"]["config"]
+    c["horizon_length"] = 32
+    c["minibatch_size"] = min(16384, num_envs * 32)
+    c["mixed_precision"] = os.environ.get("BENCH_BF16", "1") == "1"
+
+    env = parse_task("HumanoidAMPGetup", cfg)
+    agent = ASEAgent(env, cfg_train)
+    rng = jax.random.PRNGKey(0)
+    ts = agent.init_train_state(rng)
+    env_state = env.initial_state(jax.random.PRNGKey(1))
+
+    roll_jit = jax.jit(agent._rollout_phase_impl)
+    upd_jit = jax.jit(agent._update_phase_impl)
+
+    t0 = time.time()
+    ts2, env_state2, dataset, rmetrics = roll_jit(ts, env_state)
+    jax.block_until_ready(rmetrics)
+    print(f"rollout compile: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    _, metrics = upd_jit(ts2, dataset)
+    jax.block_until_ready(metrics)
+    print(f"update compile: {time.time() - t0:.1f}s")
+
+    t = timeit(lambda: roll_jit(ts, env_state)[3], n=5)
+    print(f"rollout phase: {t:.1f} ms  ({num_envs * 32 / t * 1000:.0f} steps/s)")
+    t = timeit(lambda: upd_jit(ts2, dataset)[1], n=5)
+    print(f"update phase: {t:.1f} ms")
+
+    if "--trace-epoch" in sys.argv:
+        outdir = os.path.join(root, "output/profile_epoch")
+        jax.profiler.start_trace(outdir)
+        _, m = upd_jit(ts2, dataset)
+        jax.block_until_ready(m)
+        _, _, _, rm = roll_jit(ts, env_state)
+        jax.block_until_ready(rm)
+        jax.profiler.stop_trace()
+        print("trace written to", outdir)
+
+
 if __name__ == "__main__":
-    main()
+    if "--epoch" in sys.argv:
+        main_epoch()
+    else:
+        main()
