@@ -8,6 +8,7 @@ and maps better onto the VPU.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import List, NamedTuple, Tuple
 
@@ -331,8 +332,30 @@ def detect(
     mu = jnp.concatenate(mus, axis=0)
 
     k = min(max_contacts, pos.shape[0])
-    _, idx = jax.lax.top_k(depth, k)
+    C = pos.shape[0]
+    if os.environ.get("ASE_TPU_SORT_SELECT", "0") == "1":
+        _, idx = jax.lax.top_k(depth, k)
+        return Contacts(
+            pos=pos[idx], normal=normal[idx], depth=depth[idx],
+            body_a=ba[idx], body_b=bb[idx], friction=mu[idx],
+        )
+    # sort-free active selection — same semantics as collision3's compaction
+    # path (this is its A/B reference): compact depth > 0 candidates, zero
+    # the unfilled slots (depth 0 => inactive in the solver)
+    flag = depth > 0.0
+    rank = jnp.cumsum(flag) - 1
+    pos_r = jnp.where(flag, rank, k)
+    idx = (
+        jnp.full((k,), C, jnp.int32)
+        .at[pos_r].set(jnp.arange(C, dtype=jnp.int32), mode="drop")
+    )
+    valid = idx < C
+    ic = jnp.minimum(idx, C - 1)
+    z3 = valid[:, None].astype(pos.dtype)
     return Contacts(
-        pos=pos[idx], normal=normal[idx], depth=depth[idx],
-        body_a=ba[idx], body_b=bb[idx], friction=mu[idx],
+        pos=pos[ic] * z3, normal=normal[ic] * z3,
+        depth=jnp.where(valid, depth[ic], 0.0),
+        body_a=jnp.where(valid, ba[ic], 0),
+        body_b=jnp.where(valid, bb[ic], 0),
+        friction=jnp.where(valid, mu[ic], 0.0),
     )

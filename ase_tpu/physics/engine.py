@@ -239,18 +239,36 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
             model, contacts, Phi, Amask, states.root_pos, states.prop_pos
         )                                                   # (nu, 3K, B), (B, 6np, 3K)
         nc3 = JT_bl.shape[1]
+        # 3K block first: 3K is a multiple of 8 (sublane tile), so the large
+        # operand copies into the Pallas kernel's VMEM block stay tile-aligned
+        # and only the single tau-bias column crosses a tile boundary
         rhs_bl = jnp.concatenate(
             [
-                (tau_full - bias).T[:, None, :],                       # (nu, 1, B)
                 JT_bl,                                                 # (nu, 3K, B)
+                (tau_full - bias).T[:, None, :],                       # (nu, 1, B)
             ],
             axis=1,
         )
         L_bl, Y = pallas_chol.chol_forward(M_bl, rhs_bl)
-        y0 = Y[:, 0, :]                                                # (nu, B)
-        Z = Y[:, 1:, :]                                                # (nu, 3K, B)
+        y0 = Y[:, nc3, :]                                              # (nu, B)
+        Z = Y[:, :nc3, :]                                              # (nu, 3K, B)
 
-        A = _einsum("vib,vjb->bij", Z, Z)                              # Delassus
+        # Delassus A = ZᵀZ. When the Jacobi iteration runs its matvec in
+        # bf16 (cfg.solver.matvec_bf16 — A's ONLY consumer), feed the einsum
+        # bf16 operands and emit bf16 directly: the f32-HIGHEST version
+        # lowered to a convolution fusion reading 130 MB/substep (~0.36 ms)
+        # plus a 44 MB operand relayout; halving the operand bytes roughly
+        # halves both. MXU accumulation stays f32 internally.
+        bf16_delassus = cfg.solver.matvec_bf16 and os.environ.get(
+            "ASE_TPU_F32_DELASSUS", "0") != "1"
+        if bf16_delassus:
+            Z16 = Z.astype(jnp.bfloat16)
+            A = jnp.einsum(
+                "vib,vjb->bij", Z16, Z16,
+                preferred_element_type=jnp.bfloat16,
+            )
+        else:
+            A = _einsum("vib,vjb->bij", Z, Z)
         v_art_cur = _einsum("vib,bv->bi", JT_bl, states.u[:, :nu])
         v0f = v_art_cur + h * _einsum("vib,vb->bi", Z, y0)
         if model.num_props > 0:
@@ -259,7 +277,7 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
             I_w_inv = linalg3.inv3(I_w)
             ang = _einsum("bpij,bpjm->bpim", I_w_inv, Jp[:, :, 3:6, :])
             W_prop = jnp.concatenate([lin, ang], axis=2).reshape(Bn, -1, nc3)
-            A = A + _einsum("bvi,bvj->bij", JT_prop, W_prop)
+            A = A + _einsum("bvi,bvj->bij", JT_prop, W_prop).astype(A.dtype)
             v0f = v0f + _einsum("bvi,bv->bi", JT_prop, u_free_prop)
 
         if restitution is not None:
