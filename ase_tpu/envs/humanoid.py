@@ -86,6 +86,7 @@ class Humanoid:
                 max_depenetration_velocity=float(
                     physx.get("max_depenetration_velocity", 10.0)
                 ),
+                contact_offset=float(physx.get("contact_offset", 0.02)),
             ),
             max_contacts=int(env_cfg.get("maxContacts", 24)),
             enable_self_collision=bool(env_cfg.get("enableSelfCollision", True)),

@@ -166,6 +166,7 @@ def detect(
     tables: CollisionTables,
     body_R, body_pos, prop_R, prop_pos,
     max_contacts: int,
+    margin: float = 0.0,     # speculative margin (SolverConfig.contact_offset)
 ) -> Contacts:
     g_pos, g_rot = geom_world_pose(model, body_R, body_pos, prop_R, prop_pos)
     mu_g = model.geom_friction
@@ -340,11 +341,16 @@ def detect(
             body_a=ba[idx], body_b=bb[idx], friction=mu[idx],
         )
     # sort-free active selection — same semantics as collision3's compaction
-    # path (this is its A/B reference): compact depth > 0 candidates, zero
-    # the unfilled slots (depth 0 => inactive in the solver)
-    flag = depth > 0.0
-    rank = jnp.cumsum(flag) - 1
-    pos_r = jnp.where(flag, rank, k)
+    # path (this is its A/B reference): compact depth > -margin candidates
+    # (penetrating first, then speculative gap contacts), zero the unfilled
+    # slots (depth 0 + normal 0 => inactive in the solver)
+    pen = depth > 0.0
+    rank = jnp.cumsum(pen) - 1
+    pos_r = jnp.where(pen, rank, k)
+    if margin > 0.0:
+        gap = (depth <= 0.0) & (depth > -margin)
+        rank_g = jnp.cumsum(gap) - 1 + jnp.sum(pen, dtype=jnp.int32)
+        pos_r = jnp.where(gap, jnp.minimum(rank_g, k), pos_r)
     idx = (
         jnp.full((k,), C, jnp.int32)
         .at[pos_r].set(jnp.arange(C, dtype=jnp.int32), mode="drop")

@@ -309,6 +309,9 @@ def detect_batched(
     prop_quat: jnp.ndarray,  # (B, np, 4)
     prop_pos: jnp.ndarray,   # (B, np, 3)
     max_contacts: int,
+    margin: float = 0.0,     # speculative margin: keep contacts with
+                             # depth > -margin (gap candidates) so the solver
+                             # can constrain them (SolverConfig.contact_offset)
 ) -> Contacts:
     T = tables
     B = body_pos.shape[0]
@@ -506,25 +509,32 @@ def detect_batched(
         idx = jnp.argsort(-depth, axis=1)[:, :k]        # (B, K)
         onehot = (idx[:, :, None] == jnp.arange(C)[None, None, :]).astype(feats.dtype)
     else:
-        # sort-free active selection: the solver only acts on depth > 0
-        # contacts (solver2.jacobi_lambda), so compacting the penetrating
-        # candidates with a cumsum rank selects the SAME effective contact
-        # set whenever #active <= K — measured p99 active count is 11 vs
-        # K=24 on the getup workload, overflow frequency 0.16% (those drop
-        # lowest-index rather than shallowest; PhysX truncates its contact
-        # budget similarly). The selection one-hot is built DIRECTLY from
-        # the rank (onehot[b,j,c] = active & rank==j): a scatter-based
-        # compaction of idx was tried first and LOST ~60k fps — (B, K)
-        # scatters with dynamic indices serialize on TPU. Unfilled slots
-        # (j >= #active) have an all-zero row -> every selected feature is
-        # 0 (depth 0 -> inactive in the solver). Replaces a ~0.5 ms/substep
-        # (4096, 367) argsort.
-        flag = depth > 0.0
-        rank = jnp.cumsum(flag, axis=1, dtype=jnp.int32) - 1   # (B, C)
-        onehot = (
-            flag[:, None, :]
-            & (rank[:, None, :] == jnp.arange(k, dtype=jnp.int32)[None, :, None])
-        ).astype(feats.dtype)
+        # sort-free active selection: the solver only acts on depth > -margin
+        # contacts, so compacting the active candidates with a cumsum rank
+        # selects the SAME effective contact set whenever #active <= K —
+        # measured p99 active count is 11 (margin 0) vs K=24 on the getup
+        # workload, overflow frequency 0.16% (PhysX truncates its contact
+        # budget similarly). Two prioritized passes: penetrating contacts
+        # claim slots first, then gap (speculative) candidates fill the
+        # remainder, so overflow never drops a real penetration for a
+        # speculative one. The selection one-hot is built DIRECTLY from the
+        # ranks (onehot[b,j,c] = flag & rank==j): a scatter-based compaction
+        # of idx was tried first and LOST ~60k fps — (B, K) scatters with
+        # dynamic indices serialize on TPU. Unfilled slots (j >= #active)
+        # have an all-zero row -> every selected feature is 0 (depth 0,
+        # normal 0 -> inactive in the solver via the unit-normal gate).
+        # Replaces a ~0.5 ms/substep (4096, 367) argsort.
+        pen = depth > 0.0
+        rank_p = jnp.cumsum(pen, axis=1, dtype=jnp.int32) - 1  # (B, C)
+        js = jnp.arange(k, dtype=jnp.int32)[None, :, None]
+        onehot = pen[:, None, :] & (rank_p[:, None, :] == js)
+        if margin > 0.0:
+            gap = (depth <= 0.0) & (depth > -margin)
+            n_pen = jnp.sum(pen, axis=1, dtype=jnp.int32)      # (B,)
+            rank_g = (jnp.cumsum(gap, axis=1, dtype=jnp.int32) - 1
+                      + n_pen[:, None])                        # (B, C)
+            onehot = onehot | (gap[:, None, :] & (rank_g[:, None, :] == js))
+        onehot = onehot.astype(feats.dtype)
     sel = jnp.einsum(
         "bkc,bfc->bfk", onehot, feats, precision=jax.lax.Precision.HIGHEST
     )                                                   # (B, 10, K)

@@ -130,10 +130,38 @@ def _chol_solve_batched(L: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _detect_contacts(model: M.Model, cfg: SimConfig, tables, states: State,
+                     kin, friction_scale):
+    """Narrow phase + active-contact selection for the current pose.
+
+    Called ONCE per sim tick (not per substep): PhysX TGS likewise runs one
+    narrow phase per 60 Hz step and iterates its substeps/position iterations
+    against that persistent contact set (reference sim params
+    ``substeps: 2, solver_type TGS`` — cfg/humanoid_sword_shield.yaml:31-42).
+    ASE_TPU_COLLISION_PER_SUBSTEP=1 restores per-substep redetection for A/B.
+    """
+    prop_R = rot.quat_to_rotation_matrix(states.prop_quat)
+    margin = cfg.solver.contact_offset
+    if getattr(tables, "soa", None) is not None and os.environ.get(
+        "ASE_TPU_COLLISION_AOS", "0"
+    ) != "1":
+        contacts = collision3.detect_batched(
+            model, tables.soa, kin.body_quat, kin.body_pos, states.prop_quat,
+            states.prop_pos, cfg.max_contacts, margin=margin,
+        )
+    else:
+        contacts = jax.vmap(
+            lambda bR, bp, pR, pp: collision2.detect(
+                model, tables, bR, bp, pR, pp, cfg.max_contacts, margin=margin
+            )
+        )(kin.body_R, kin.body_pos, prop_R, states.prop_pos)
+    return contacts._replace(friction=contacts.friction * friction_scale[:, None])
+
+
 def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
                      actions: jnp.ndarray, friction_scale, gain_scale,
                      mass_scale=None, gravity_scale=None, damping_scale=None,
-                     restitution=None, kin=None):
+                     restitution=None, kin=None, contacts=None):
     h = cfg.dt / cfg.substeps
     nu = model.nu
     Bn = actions.shape[0]
@@ -205,22 +233,12 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
     else:
         u_free_prop = None
 
-    # contacts: SoA batched narrow-phase (TPU lane-dense layout); the vmapped
-    # AoS path is kept behind ASE_TPU_COLLISION_AOS=1 for A/B validation
-    if getattr(tables, "soa", None) is not None and os.environ.get(
-        "ASE_TPU_COLLISION_AOS", "0"
-    ) != "1":
-        contacts = collision3.detect_batched(
-            model, tables.soa, kin.body_quat, kin.body_pos, states.prop_quat,
-            states.prop_pos, cfg.max_contacts,
-        )
-    else:
-        contacts = jax.vmap(
-            lambda bR, bp, pR, pp: collision2.detect(
-                model, tables, bR, bp, pR, pp, cfg.max_contacts
-            )
-        )(kin.body_R, kin.body_pos, prop_R, states.prop_pos)
-    contacts = contacts._replace(friction=contacts.friction * friction_scale[:, None])
+    # contacts: detected once per tick by the caller (PhysX-TGS cadence,
+    # see _detect_contacts); recomputed here only when None (single-substep
+    # callers / per-substep A/B mode)
+    if contacts is None:
+        contacts = _detect_contacts(
+            model, cfg, tables, states, kin, friction_scale)
 
     use_cg = (
         cfg.solver.scheme == "jacobi"
@@ -302,7 +320,9 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
             u_new = jnp.concatenate([u_art_new, u_prop_new], axis=-1)
         else:
             u_new = u_art_new
-        body_forces = solver2.body_forces_from_lambda(model, contacts, lam_f, h)
+        body_forces = solver2.body_forces_from_lambda(
+            model, contacts, lam_f, h,
+            contact_offset=cfg.solver.contact_offset)
     else:
         # AoS A/B validation path: classic two-sided solves (qdd, then W)
         L = _chol_from_batch_last(M_bl)
@@ -410,16 +430,24 @@ def step_batched(model: M.Model, cfg: SimConfig, tables, states: State,
     if gain_scale is None:
         gain_scale = jnp.ones(B)
 
+    kin = kin0 if kin0 is not None else _fk(model, states)
+    # ONE narrow phase per tick at the pre-tick pose (PhysX-TGS cadence:
+    # substeps iterate against a persistent contact set); per-substep
+    # redetection behind ASE_TPU_COLLISION_PER_SUBSTEP=1 for A/B
+    per_substep = os.environ.get("ASE_TPU_COLLISION_PER_SUBSTEP", "0") == "1"
+    contacts0 = None if per_substep else _detect_contacts(
+        model, cfg, tables, states, kin, friction_scale)
+
     def body(carry, _):
         st, kin, _, _ = carry
         st, forces, tau = _substep_batched(
             model, cfg, tables, st, actions, friction_scale, gain_scale,
             mass_scale=mass_scale, gravity_scale=gravity_scale,
             damping_scale=damping_scale, restitution=restitution, kin=kin,
+            contacts=contacts0,
         )
         return (st, _fk(model, st), forces, tau), None
 
-    kin = kin0 if kin0 is not None else _fk(model, states)
     init_forces = jnp.zeros((B, model.nb + model.num_props, 3))
     init_tau = jnp.zeros((B, model.nd))
     (states, kin, forces, dof_forces), _ = jax.lax.scan(

@@ -53,6 +53,15 @@ class SolverConfig(NamedTuple):
     regularization: float = 1e-6
     matvec_bf16: bool = True           # bf16 Delassus matvec (f32 accumulate);
                                        # ~0.4% iterate noise, inside solver tol
+    contact_offset: float = 0.02       # PhysX contactOffset parity: contacts
+                                       # within this gap enter the solve as
+                                       # SPECULATIVE constraints (vn >= gap/h),
+                                       # stopping bodies exactly at touchdown.
+                                       # Required for once-per-tick narrow
+                                       # phase: a contact forming mid-tick is
+                                       # otherwise invisible until the next
+                                       # detection (reference sim params
+                                       # cfg/humanoid_sword_shield.yaml:36)
 
 
 def _tangent_basis(n: jnp.ndarray):
@@ -142,7 +151,8 @@ def solve(
     K = J.shape[0]
     nv = J.shape[-1]
 
-    active = (contacts.depth > 0.0).astype(jnp.float32)
+    n_ok = jnp.abs(jnp.sum(jnp.square(contacts.normal), axis=-1) - 1.0) < 0.1
+    active = ((contacts.depth > -cfg.contact_offset) & n_ok).astype(jnp.float32)
     mu = contacts.friction * active
 
     Jf = J.reshape(K * 3, nv)
@@ -150,11 +160,13 @@ def solve(
     A = A + cfg.regularization * jnp.eye(K * 3)
     Ablk = A.reshape(K, 3, K, 3)
 
-    # desired normal velocity (Baumgarte stabilization, PhysX-style clamp)
+    # desired normal velocity: Baumgarte depenetration for touching contacts
+    # (PhysX-style clamp) + speculative approach allowance gap/dt for
+    # contacts still separated by up to contact_offset
     v_bias = jnp.minimum(
         cfg.baumgarte / dt * jnp.maximum(contacts.depth - cfg.slop, 0.0),
         cfg.max_depenetration_velocity,
-    )
+    ) + jnp.minimum(contacts.depth, 0.0) / dt
     target = jnp.concatenate(
         [v_bias[:, None], jnp.zeros((K, 2))], axis=-1
     )                                         # (K, 3)
@@ -227,17 +239,18 @@ def solve_batched(
     # rows with near-zero effective inverse mass, which would turn the
     # Baumgarte bias into an unbounded impulse
     n_ok = jnp.abs(jnp.sum(jnp.square(contacts.normal), axis=-1) - 1.0) < 0.1
-    active = ((contacts.depth > 0.0) & n_ok).astype(jnp.float32)
+    active = ((contacts.depth > -cfg.contact_offset) & n_ok).astype(jnp.float32)
     mu = contacts.friction * active
 
     Jf = J.reshape(B, K * 3, nv)
     A = _einsum("bim,bmj->bij", Jf, W)
     A = A + cfg.regularization * jnp.eye(K * 3)[None]
 
+    # Baumgarte depenetration + speculative approach allowance (see solve())
     v_bias = jnp.minimum(
         cfg.baumgarte / dt * jnp.maximum(contacts.depth - cfg.slop, 0.0),
         cfg.max_depenetration_velocity,
-    )
+    ) + jnp.minimum(contacts.depth, 0.0) / dt
     target = jnp.concatenate([v_bias[..., None], jnp.zeros((B, K, 2))], axis=-1)
     v0 = _einsum("bkiv,bv->bki", J, u_free)
 

@@ -264,15 +264,19 @@ def jacobi_lambda(
     B, K = contacts.depth.shape
 
     n_ok = jnp.abs(jnp.sum(jnp.square(contacts.normal), axis=-1) - 1.0) < 0.1
-    active = ((contacts.depth > 0.0) & n_ok).astype(jnp.float32)
+    active = ((contacts.depth > -cfg.contact_offset) & n_ok).astype(jnp.float32)
     mu = contacts.friction * active
 
     reg = cfg.regularization
 
+    # Baumgarte depenetration for touching contacts + speculative approach
+    # allowance gap/dt for separated-but-near contacts (PhysX contactOffset
+    # semantics): vn is constrained to >= depth/dt, stopping an approaching
+    # body exactly at touchdown even though detection ran at tick start
     v_bias = jnp.minimum(
         cfg.baumgarte / dt * jnp.maximum(contacts.depth - cfg.slop, 0.0),
         cfg.max_depenetration_velocity,
-    )
+    ) + jnp.minimum(contacts.depth, 0.0) / dt
     if restitution is not None and vn_pre is not None:
         v_bias = v_bias + restitution[:, None] * jnp.maximum(-vn_pre, 0.0)
 
@@ -319,11 +323,12 @@ def jacobi_lambda(
 
 
 def body_forces_from_lambda(model: M.Model, contacts: Contacts,
-                            lam_f: jnp.ndarray, dt: float) -> jnp.ndarray:
+                            lam_f: jnp.ndarray, dt: float,
+                            contact_offset: float = 0.0) -> jnp.ndarray:
     """World-frame per-body contact forces via one-hot MXU scatters."""
     K = contacts.depth.shape[1]
     n_ok = jnp.abs(jnp.sum(jnp.square(contacts.normal), axis=-1) - 1.0) < 0.1
-    active = ((contacts.depth > 0.0) & n_ok).astype(jnp.float32)
+    active = ((contacts.depth > -contact_offset) & n_ok).astype(jnp.float32)
     n, t1, t2 = _basis_comps(contacts.normal)
     ln, l1, l2 = lam_f[:, :K], lam_f[:, K : 2 * K], lam_f[:, 2 * K :]
     f = tuple((ln * nk + l1 * t1k + l2 * t2k) / dt for nk, t1k, t2k in zip(n, t1, t2))
