@@ -293,9 +293,13 @@ class AMPAgent(CommonAgent):
 
     def _extra_loss(self, loss, params, ts, mb, info):
         loss, info = super()._extra_loss(loss, params, ts, mb, info)
-        agent_logits = self._eval_disc(params, mb["amp_obs_n"])
-        replay_logits = self._eval_disc(params, mb["amp_obs_replay_n"])
-        agent_cat = jnp.concatenate([agent_logits, replay_logits], axis=0)
+        # one disc forward on the concatenated agent+replay rows instead of
+        # two half-batch chains: the loss/acc only ever see the concatenated
+        # logits, so this is bit-identical semantics with half the kernels
+        agent_cat = self._eval_disc(
+            params,
+            jnp.concatenate([mb["amp_obs_n"], mb["amp_obs_replay_n"]], axis=0),
+        )
 
         def demo_fn(x):
             return self._eval_disc(params, x)

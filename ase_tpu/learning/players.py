@@ -43,8 +43,13 @@ class CommonPlayer:
         self.env = agent.env
         self.deterministic = deterministic
         pcfg = agent.config.get("player", {}) or {}
+        # rl_games BasePlayer defaults games_num to 2000: with games_num far
+        # above num_envs every env completes several episodes before the
+        # budget is reached, so the reported mean is not biased toward the
+        # earliest-terminating (shortest) episodes. A small budget (e.g. 20)
+        # stops the count mid-first-episode and reports ONLY failures.
         self.games_num = int(games_num if games_num is not None
-                             else pcfg.get("games_num", 20))
+                             else pcfg.get("games_num", 2000))
         self.debug_probes = bool(debug_probes)
         self.print_stats = bool(print_stats)
         self._chunk_fns: Dict[int, Any] = {}  # num_steps -> jitted rollout
