@@ -84,7 +84,8 @@ def main(argv=None):
         try:
             from torch.utils.tensorboard import SummaryWriter
 
-            writer = SummaryWriter(os.path.join(args.output_path, "summaries"))
+            writer = SummaryWriter(
+                args.logdir or os.path.join(args.output_path, "summaries"))
         except Exception:
             pass
 

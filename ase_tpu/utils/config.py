@@ -61,6 +61,11 @@ def get_args(argv=None) -> argparse.Namespace:
                         "the JAX CPU backend, e.g. for debugging)")
     p.add_argument("--llc_checkpoint", type=str, default="")
     p.add_argument("--output_path", type=str, default="output")
+    p.add_argument("--experiment", type=str, default="Base",
+                   help="Experiment name: overrides the train-config run "
+                        "name (checkpoint files, reference config.py:85-95)")
+    p.add_argument("--logdir", type=str, default="",
+                   help="TensorBoard dir (default <output_path>/summaries)")
     p.add_argument("--randomize", action="store_true", help="Domain randomization")
     p.add_argument("--bench", action="store_true",
                    help="Benchmark mode: no TensorBoard writer, no checkpoint saves")
@@ -95,6 +100,10 @@ def load_cfg(args) -> Tuple[Dict[str, Any], Dict[str, Any]]:
         cfg["task"] = {"randomize": bool(args.randomize)}
 
     train_cfg = cfg_train["params"]["config"]
+    # --experiment overrides the run name that checkpoints/logs are keyed by
+    # (reference config.py:85-95; the isaac-metadata variant is N/A here)
+    if getattr(args, "experiment", "Base") != "Base":
+        train_cfg["name"] = args.experiment
     train_cfg["num_actors"] = cfg["env"]["numEnvs"]
     if args.max_iterations > 0:
         train_cfg["max_epochs"] = args.max_iterations

@@ -76,3 +76,24 @@ def test_plain_humanoid_asset_builds():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+def test_experiment_flag_overrides_run_name():
+    """--experiment renames the run (checkpoint key), reference
+    config.py:85-95; --logdir redirects TensorBoard output."""
+    from ase_tpu.utils import config as C
+
+    args = C.get_args([
+        "--cfg_env", "humanoid_sword_shield.yaml",
+        "--cfg_train", "train/rlg/amp_humanoid.yaml",
+        "--experiment", "MyRun",
+    ])
+    _, cfg_train = C.load_cfg(args)
+    assert cfg_train["params"]["config"]["name"] == "MyRun"
+
+    args2 = C.get_args([
+        "--cfg_env", "humanoid_sword_shield.yaml",
+        "--cfg_train", "train/rlg/amp_humanoid.yaml",
+    ])
+    _, cfg_train2 = C.load_cfg(args2)
+    assert cfg_train2["params"]["config"]["name"] == "Humanoid"
