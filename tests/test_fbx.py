@@ -106,3 +106,49 @@ def test_explicit_root_joint_and_fps(mocap):
     assert names == names0
     assert fps == 30.0
     assert abs(lr.shape[0] - mocap[2].shape[0] / 4) <= 2
+
+
+def test_end_to_end_cmu_retarget(mocap):
+    """Full standalone retarget workflow (reference retarget_motion.py:178-251)
+    with NO reference-mount data: the CMU source comes from the vendored fbx,
+    the AMP target tpose is generated from the vendored MJCF, and the CMU
+    tpose is the skeleton's bind pose (zero local rotations — CMU fbx rigs
+    bind in a T-pose). Checks the retargeted clip drives the AMP skeleton:
+    right joint count, finite FK, feet near the ground after scaling."""
+    from ase_tpu.motion import retarget as rt
+    from ase_tpu.motion.importers import generate_amp_humanoid_tpose
+    from ase_tpu.motion.skeleton import SkeletonTree, np_fk
+    from ase_tpu.utils import paths
+
+    names, parents, local_rot, local_t, root_t, fps = mocap
+    src_tree = SkeletonTree(tuple(names), tuple(parents), local_t[0])
+    # cgspeed CMU→FBX conversions key the rig's rest pose (a T-pose) on
+    # frame 0 — that frame IS the source tpose (the reference ships the same
+    # thing pre-extracted as poselib/data/cmu_tpose.npy)
+    src_tpose = local_rot[0]
+
+    tgt_tree, tgt_tpose, tgt_root = generate_amp_humanoid_tpose(
+        paths.data_path("assets", "mjcf", "amp_humanoid.xml"))
+
+    cfg = rt.load_retarget_config(
+        paths.data_path("retarget_cfg", "retarget_cmu_to_amp.json"))
+
+    T = 120
+    out_lr, out_root = rt.retarget_motion(
+        src_tree, local_rot[2 : T + 2], root_t[2 : T + 2], src_tpose,
+        tgt_tree, tgt_tpose, tgt_root,
+        cfg["joint_mapping"], cfg["rotation"], cfg["scale"],
+    )
+    assert out_lr.shape == (T, tgt_tree.num_joints, 4)
+    np.testing.assert_allclose(
+        np.linalg.norm(out_lr, axis=-1), 1.0, atol=1e-4)
+    # ground-height fix, as the reference tool applies after retargeting
+    out_root = rt.fix_ground_height(tgt_tree, out_lr, out_root)
+    grs, gts = np_fk(tgt_tree, out_lr, out_root)
+    assert np.isfinite(gts).all()
+    # scaled to human size and grounded: lowest foot touches the plane,
+    # head stands 1-2 m above it
+    lf = gts[:, [tgt_tree.index("left_foot"), tgt_tree.index("right_foot")], 2]
+    np.testing.assert_allclose(lf.min(), 0.02, atol=1e-4)
+    head = gts[:, tgt_tree.index("head"), 2]
+    assert 1.0 < head.mean() < 2.2
