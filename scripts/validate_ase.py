@@ -83,6 +83,10 @@ def run(args):
         cfg_train["params"]["config"]["llc_checkpoint"] = args.llc
         task, agent_cls = args.task, HRLAgent
         curve_keys = ["reward_mean", "game_reward_mean", "game_length_mean"]
+        if args.task == "HumanoidStrike":
+            # strike publishes aux['successes'] (reference capability surface,
+            # ase/run.py:66-97); chart the windowed consecutive-success meter
+            curve_keys.append("consecutive_successes_mean")
 
     cfg["env"]["numEnvs"] = args.num_envs
     cfg["env"]["motion_file"] = args.motion
@@ -134,6 +138,10 @@ def run(args):
     with open(hist_path, "w") as f:
         json.dump(history, f)
 
+    if args.no_doc:
+        print(f"validation ({args.mode}) done in {wall:.0f}s (doc append skipped)")
+        return
+
     # table: ~8 evenly spaced checkpoints
     picks = sorted({0, *range(0, args.epochs, max(args.epochs // 7, 1)),
                     args.epochs - 1})
@@ -168,6 +176,9 @@ def main():
     p.add_argument("--motion", default=DATASET)
     p.add_argument("--llc", default="data/models/ase_llc_reallusion_sword_shield.ckpt.npz")
     p.add_argument("--ckpt-out", default="")
+    p.add_argument("--no-doc", action="store_true",
+                   help="skip the VALIDATION.md append (checkpoint-production "
+                        "reruns of already-documented configs)")
     args = p.parse_args()
     if args.mode == "ase" and not args.ckpt_out:
         args.ckpt_out = "output/validate_ase/llc.ckpt.npz"
