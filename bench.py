@@ -95,5 +95,26 @@ def main():
     print(json.dumps(out))
 
 
+def _is_transient(exc: BaseException) -> bool:
+    """Infra transients seen on this deployment: the remote-compile service
+    occasionally drops the response mid-body, and a freshly-killed TPU client
+    leaves the relay in FAILED_PRECONDITION for ~2 minutes."""
+    msg = f"{type(exc).__name__}: {exc}"
+    return any(
+        s in msg
+        for s in ("remote_compile", "FAILED_PRECONDITION", "UNAVAILABLE",
+                  "DEADLINE_EXCEEDED", "response body closed")
+    )
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — retry only classified transients
+        if os.environ.get("BENCH_RETRIED") == "1" or not _is_transient(e):
+            raise
+        print(f"# transient backend error, retrying once in 90s: {e}",
+              file=sys.stderr)
+        time.sleep(90)
+        os.environ["BENCH_RETRIED"] = "1"
+        os.execv(sys.executable, [sys.executable] + sys.argv)
