@@ -653,7 +653,7 @@ class CommonAgent:
             f"numEnvs {self.num_actors} % devices {self.mesh.size} != 0"
         )
         ts = mesh_lib.replicate_state(self.mesh, ts)
-        env_state = mesh_lib.shard_env_state(self.mesh, env_state)
+        env_state = mesh_lib.shard_env_state(self.mesh, env_state, self.num_actors)
         return ts, env_state
 
     def train(self, max_epochs: int = None, writer=None, log_every: int = 1,

@@ -101,60 +101,91 @@ def retarget_motion(
     # 6. back to local representation
     tgt_lrs = _np_global_to_local(target_tree, tgt_grs)
 
-    # root height offset: keep the source's (scaled) trajectory, shifted so
-    # the target tpose root height is respected
-    root_out = root_trans + (target_tpose_root - root_trans[0]) * np.array([0.0, 0.0, 0.0])
-    return tgt_lrs.astype(np.float32), root_out.astype(np.float32)
+    # the root keeps the source's (rotated, scaled) trajectory; ground
+    # alignment is the caller's job (fix_ground_height + root_height_offset,
+    # as in the reference driver retarget_motion.py:231-243)
+    return tgt_lrs.astype(np.float32), root_trans.astype(np.float32)
+
+
+def _np_quat_from_angle_axis(angle: np.ndarray, axis: np.ndarray) -> np.ndarray:
+    """xyzw quaternion from angle (...,) about a unit axis (...,3) or (3,)."""
+    angle = np.asarray(angle, dtype=np.float64)
+    axis = np.broadcast_to(axis, angle.shape + (3,))
+    half = 0.5 * angle
+    return np.concatenate(
+        [axis * np.sin(half)[..., None], np.cos(half)[..., None]], axis=-1
+    )
 
 
 def project_joints(
     tree: SkeletonTree,
     local_rot: np.ndarray,    # (T, J, 4)
     root_trans: np.ndarray,
-    three_dof_joints: Sequence[Tuple[str, str, str]] = (
-        ("right_upper_arm", "right_lower_arm", "right_hand"),
-        ("left_upper_arm", "left_lower_arm", "left_hand"),
-        ("right_thigh", "right_shin", "right_foot"),
-        ("left_thigh", "left_shin", "left_foot"),
+    limbs: Sequence[Tuple[str, str, str, float]] = (
+        # (parent ball joint, hinge joint, end effector, hinge sign)
+        ("right_upper_arm", "right_lower_arm", "right_hand", -1.0),
+        ("left_upper_arm", "left_lower_arm", "left_hand", -1.0),
+        ("right_thigh", "right_shin", "right_foot", 1.0),
+        ("left_thigh", "left_shin", "left_foot", 1.0),
     ),
+    zero_joints: Sequence[str] = ("left_hand", "right_hand"),
 ) -> np.ndarray:
-    """Project 3-DoF elbow/knee rotations onto their single hinge axis.
+    """Project 3-DoF elbow/knee rotations onto their single y-axis hinge.
 
-    Re-derivation of the reference's geometric projection
-    (``retarget_motion.py:24-175``): the hinge angle is recovered from the
-    angle between the upper and lower limb segments (law of cosines on the
-    shoulder→elbow→wrist triangle); the residual rotation is absorbed into
-    the parent ball joint so end-effector positions are preserved as closely
-    as a 1-DoF joint allows.
+    Matches the reference's geometric projection
+    (``ase/poselib/retarget_motion.py:24-175``) limb by limb:
+
+    1. the hinge angle is the bend angle between the upper and lower limb
+       segments (``acos(-(u−m)·(e−m))`` on unit segment vectors), placed on
+       the y axis with a fixed sign convention — elbows bend negative,
+       knees positive (ref ``:55,:113``);
+    2. the residual between the old 3-DoF rotation and the new hinge is
+       absorbed into the PARENT ball joint (shoulder/hip): the angle between
+       the child-offset direction under the old vs. new rotation, about the
+       child-offset axis, post-multiplied onto the parent's local rotation
+       (ref ``:58-68`` and its three siblings), with the reference's
+       y-component sign rule (arms flip when dir0.y > 0, legs when
+       dir0.y < 0, ref ``:66,:124``);
+    3. hand joints are zeroed to the identity (ref ``:169-170``).
     """
     out = local_rot.copy()
-    grs, gts = np_fk(tree, local_rot, root_trans)
+    _, gts = np_fk(tree, local_rot, root_trans)
     axis_y = np.array([0.0, 1.0, 0.0])
 
-    for (upper_n, mid_n, end_n) in three_dof_joints:
+    def _unit(v):
+        return v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+
+    for (upper_n, mid_n, end_n, hinge_sign) in limbs:
         try:
             u, m, e = tree.index(upper_n), tree.index(mid_n), tree.index(end_n)
         except ValueError:
             continue
-        # limb vectors
-        v1 = gts[:, m] - gts[:, u]
-        v2 = gts[:, e] - gts[:, m]
-        l1 = np.linalg.norm(v1, axis=-1)
-        l2 = np.linalg.norm(v2, axis=-1)
-        d = np.linalg.norm(gts[:, e] - gts[:, u], axis=-1)
-        cos_theta = np.clip(
-            (l1**2 + l2**2 - d**2) / np.maximum(2 * l1 * l2, 1e-9), -1.0, 1.0
-        )
-        interior = np.arccos(cos_theta)
-        bend = np.pi - interior  # 0 when straight
-        # hinge sign convention from the current local rotation's y component
-        cur = out[:, m]
-        sign = np.where(cur[:, 1] >= 0, 1.0, -1.0)
-        half = 0.5 * bend * sign
-        out[:, m] = np.stack(
-            [np.zeros_like(half), np.sin(half), np.zeros_like(half), np.cos(half)],
-            axis=-1,
-        )
+        # bend angle between the limb segments (0 when straight)
+        delta0 = _unit(gts[:, u] - gts[:, m])
+        delta1 = _unit(gts[:, e] - gts[:, m])
+        theta = np.arccos(np.clip(np.sum(-delta0 * delta1, axis=-1), -1.0, 1.0))
+        hinge_q = _np_quat_from_angle_axis(hinge_sign * np.abs(theta), axis_y)
+
+        # residual: how far the child-offset direction moved when the 3-DoF
+        # rotation collapsed onto the hinge — absorbed into the parent ball
+        # joint about the child-offset axis so the end effector tracks
+        local_dir = _unit(np.asarray(tree.local_translation[e], dtype=np.float64))
+        old_mid = local_rot[:, m]
+        dir0 = _np_quat_rotate(old_mid, np.broadcast_to(local_dir, (old_mid.shape[0], 3)))
+        dir1 = _np_quat_rotate(hinge_q, np.broadcast_to(local_dir, (old_mid.shape[0], 3)))
+        res_theta = np.arccos(np.clip(np.sum(dir0 * dir1, axis=-1), -1.0, 1.0))
+        res_theta = np.where(hinge_sign * dir0[:, 1] >= 0, res_theta, -res_theta)
+        comp_q = _np_quat_from_angle_axis(res_theta, local_dir)
+
+        out[:, u] = _np_quat_mul(local_rot[:, u], comp_q)
+        out[:, m] = hinge_q
+
+    for name in zero_joints:
+        try:
+            j = tree.index(name)
+        except ValueError:
+            continue
+        out[:, j] = np.array([0.0, 0.0, 0.0, 1.0])
     return out
 
 
@@ -185,6 +216,7 @@ def load_retarget_config(path: str) -> dict:
         "target_tpose": cfg.get("target_tpose"),
         "source_motion": cfg.get("source_motion"),
         "target_motion_path": cfg.get("target_motion_path"),
+        "root_height_offset": float(cfg.get("root_height_offset", 0.0)),
         "trim_frame_beg": int(cfg.get("trim_frame_beg", -1)),
         "trim_frame_end": int(cfg.get("trim_frame_end", -1)),
     }

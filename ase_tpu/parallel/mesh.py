@@ -41,12 +41,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_env_state(mesh: Mesh, env_state: Any) -> Any:
-    """Place every leaf of the env-state pytree with its batch axis sharded."""
+def shard_env_state(mesh: Mesh, env_state: Any, num_envs: int) -> Any:
+    """Shard exactly the per-env leaves of the env-state pytree.
+
+    A leaf is sharded over the ``env`` axis iff its leading dim equals
+    ``num_envs`` (the explicit batch annotation); every other leaf —
+    including decoys whose first dim merely happens to be divisible by the
+    device count, e.g. a per-prop table — is replicated.
+    """
+    if num_envs % mesh.size != 0:
+        raise ValueError(
+            f"num_envs {num_envs} not divisible by mesh size {mesh.size}")
     sh = env_sharding(mesh)
+    rep = replicated(mesh)
 
     def place(x):
-        return jax.device_put(x, sh if getattr(x, "ndim", 0) >= 1 and x.shape[0] % mesh.size == 0 else replicated(mesh))
+        batched = getattr(x, "ndim", 0) >= 1 and x.shape[0] == num_envs
+        return jax.device_put(x, sh if batched else rep)
 
     return jax.tree_util.tree_map(place, env_state)
 

@@ -61,6 +61,9 @@ def main(argv=None):
         out_lr = rt.project_joints(t_tree, out_lr, out_root)
     if args.fix_ground:
         out_root = rt.fix_ground_height(t_tree, out_lr, out_root)
+        # reference driver lifts the root by a config offset after grounding
+        # (retarget_motion.py:238-240)
+        out_root[:, 2] += cfg["root_height_offset"]
 
     rt.save_motion_npy(out_path, t_tree, out_lr, out_root, fps)
     print(f"wrote {out_path} ({out_lr.shape[0]} frames @ {fps:.1f} fps)")

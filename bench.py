@@ -113,8 +113,10 @@ if __name__ == "__main__":
     except Exception as e:  # noqa: BLE001 — retry only classified transients
         if os.environ.get("BENCH_RETRIED") == "1" or not _is_transient(e):
             raise
-        print(f"# transient backend error, retrying once in 90s: {e}",
+        print(f"# transient backend error, retrying once in 150s: {e}",
               file=sys.stderr)
-        time.sleep(90)
+        time.sleep(150)  # FAILED_PRECONDITION window after a killed client is ~2 min
         os.environ["BENCH_RETRIED"] = "1"
-        os.execv(sys.executable, [sys.executable] + sys.argv)
+        # re-exec with the original interpreter flags preserved (notably -u:
+        # TPU runs are launched unbuffered with output redirected to a log)
+        os.execv(sys.executable, [sys.executable] + sys.orig_argv[1:])

@@ -152,3 +152,59 @@ def test_end_to_end_cmu_retarget(mocap):
     np.testing.assert_allclose(lf.min(), 0.02, atol=1e-4)
     head = gts[:, tgt_tree.index("head"), 2]
     assert 1.0 < head.mean() < 2.2
+
+
+def test_project_joints_golden(mocap):
+    """Golden fidelity test for the 3-DoF→1-DoF projection
+    (reference retarget_motion.py:24-175): elbows/knees collapse onto pure
+    y-axis hinges with the reference sign conventions (elbows −|θ|, knees
+    +|θ|), hands are zeroed, and the parent-joint residual compensation
+    keeps end-effector positions close to the unprojected motion (measured
+    0.53 cm mean on this clip vs 8.3 cm with the hinge alone)."""
+    from ase_tpu.motion import retarget as rt
+    from ase_tpu.motion.importers import generate_amp_humanoid_tpose
+    from ase_tpu.motion.skeleton import SkeletonTree, np_fk
+    from ase_tpu.utils import paths
+
+    names, parents, local_rot, local_t, root_t, fps = mocap
+    src_tree = SkeletonTree(tuple(names), tuple(parents), local_t[0])
+    tgt_tree, tgt_tpose, tgt_root = generate_amp_humanoid_tpose(
+        paths.data_path("assets", "mjcf", "amp_humanoid.xml"))
+    cfg = rt.load_retarget_config(
+        paths.data_path("retarget_cfg", "retarget_cmu_to_amp.json"))
+
+    T = 120
+    out_lr, out_root = rt.retarget_motion(
+        src_tree, local_rot[2 : T + 2], root_t[2 : T + 2], local_rot[0],
+        tgt_tree, tgt_tpose, tgt_root,
+        cfg["joint_mapping"], cfg["rotation"], cfg["scale"],
+    )
+    proj_lr = rt.project_joints(tgt_tree, out_lr, out_root)
+
+    # hinge purity + reference sign conventions (q_y·q_w sign == hinge sign)
+    for name, sign in [("right_lower_arm", -1.0), ("left_lower_arm", -1.0),
+                       ("right_shin", 1.0), ("left_shin", 1.0)]:
+        q = proj_lr[:, tgt_tree.index(name)]
+        np.testing.assert_allclose(q[:, [0, 2]], 0.0, atol=1e-7)
+        assert (sign * q[:, 1] * q[:, 3] >= -1e-7).all()
+
+    # hands zeroed to identity (ref :169-170)
+    for name in ("left_hand", "right_hand"):
+        q = proj_lr[:, tgt_tree.index(name)]
+        np.testing.assert_allclose(
+            q, np.broadcast_to([0.0, 0.0, 0.0, 1.0], q.shape), atol=1e-7)
+
+    # parent compensation preserves end effectors: mean error well under the
+    # no-compensation floor (~8 cm on this clip)
+    _, gts0 = np_fk(tgt_tree, out_lr, out_root)
+    _, gts1 = np_fk(tgt_tree, proj_lr, out_root)
+    ee = [tgt_tree.index(n)
+          for n in ("right_hand", "left_hand", "right_foot", "left_foot")]
+    err = np.linalg.norm(gts1[:, ee] - gts0[:, ee], axis=-1)
+    assert err.mean() < 0.02, f"mean EE error {err.mean():.4f} m"
+    assert err.max() < 0.06, f"max EE error {err.max():.4f} m"
+    # elbow/knee joint positions are untouched by construction
+    mids = [tgt_tree.index(n)
+            for n in ("right_lower_arm", "left_lower_arm",
+                      "right_shin", "left_shin")]
+    np.testing.assert_allclose(gts1[:, mids], gts0[:, mids], atol=1e-5)

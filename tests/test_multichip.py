@@ -68,7 +68,7 @@ def test_epoch_parity_1dev_vs_8dev():
         env_state = env.initial_state(jax.random.PRNGKey(1))
         if mesh is not None:
             ts = mesh_lib.replicate_state(mesh, ts)
-            env_state = mesh_lib.shard_env_state(mesh, env_state)
+            env_state = mesh_lib.shard_env_state(mesh, env_state, env.num_envs)
         ts, env_state, metrics = agent.train_epoch(ts, env_state)
         return jax.device_get(ts), jax.device_get(metrics)
 
@@ -94,6 +94,26 @@ def test_epoch_parity_1dev_vs_8dev():
         np.testing.assert_allclose(
             a, b, atol=5 * lr, err_msg=jax.tree_util.keystr(pa)
         )
+
+
+def test_shard_env_state_explicit_batch_axis():
+    """Only leaves whose leading dim == num_envs are sharded; a decoy leaf
+    whose first dim merely divides the device count (e.g. a per-prop table
+    with 8 rows) stays replicated (VERDICT r3 weak #5)."""
+    mesh = mesh_lib.make_mesh(8)
+    num_envs = 32
+    state = {
+        "per_env": jnp.zeros((num_envs, 7)),
+        "decoy_divisible": jnp.zeros((8, 3)),       # divisible by ndev, not per-env
+        "decoy_divisible2": jnp.zeros((16,)),       # divisible, wrong size
+        "scalar": jnp.asarray(1.0),
+    }
+    out = mesh_lib.shard_env_state(mesh, state, num_envs)
+    assert out["per_env"].sharding == mesh_lib.env_sharding(mesh)
+    for k in ("decoy_divisible", "decoy_divisible2", "scalar"):
+        assert out[k].sharding.is_fully_replicated, k
+    with pytest.raises(ValueError):
+        mesh_lib.shard_env_state(mesh, state, num_envs=30)
 
 
 if __name__ == "__main__":
