@@ -22,18 +22,40 @@ def _leaf_key(path) -> str:
     return jax.tree_util.keystr(path)
 
 
+def _fetchable(v: Any) -> Any:
+    """Make a leaf device_get-able under multi-controller JAX.
+
+    A global jax.Array spanning other processes' devices cannot be fetched
+    directly. TrainState leaves are replicated across the mesh (every device
+    holds the full value), so the local shard IS the value — read it instead.
+    """
+    if isinstance(v, jax.Array) and not v.is_fully_addressable:
+        if not getattr(v, "is_fully_replicated", False):
+            from jax.experimental import multihost_utils
+            return multihost_utils.process_allgather(v, tiled=True)
+        return v.addressable_shards[0].data
+    return v
+
+
 def save(path: str, state: Any, exclude: tuple = ()) -> None:
     """Write a path-keyed npz of the pytree. `exclude` is a tuple of key
     substrings to skip (e.g. reconstructible device buffers — the reference
     .pth checkpoints don't persist the AMP demo/replay buffers either, and
-    they dominate size: ~2.2 GB at the production buffer sizes)."""
+    they dominate size: ~2.2 GB at the production buffer sizes).
+
+    Multi-controller: call from EVERY process (fetching non-addressable
+    leaves is a collective); only process 0 touches the filesystem —
+    the reference's rank-0 saving (reference common_agent.py:141).
+    """
     # filter BEFORE device_get: excluded leaves (the ~2.2 GB demo/replay
     # buffers) must never cross the host↔device link — fetching them over
     # the TPU tunnel costs minutes per save
     leaves = jax.tree_util.tree_flatten_with_path(state)[0]
     kept = [(p, v) for p, v in leaves
             if not any(x in _leaf_key(p) for x in exclude)]
-    fetched = jax.device_get([v for _, v in kept])
+    fetched = jax.device_get([_fetchable(v) for _, v in kept])
+    if jax.process_index() != 0:
+        return
     arrays = {_leaf_key(p): np.asarray(v)
               for (p, _), v in zip(kept, fetched)}
     if not path.endswith(".npz"):

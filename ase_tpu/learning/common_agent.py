@@ -692,6 +692,13 @@ class CommonAgent:
 
         ts, env_state = self._place_states(ts, env_state)
 
+        # multi-host: only process 0 writes TB (reference rank-0 logging,
+        # common_agent.py:109); every process prints its own fps. Checkpoint
+        # saves run on ALL processes — fetching globally-sharded leaves is a
+        # collective — and ckpt.save itself writes only from process 0.
+        if jax.process_index() != 0:
+            writer = None
+
         os.makedirs(self.output_dir, exist_ok=True)
         name = self.config.get("name", "Humanoid")
         start = time.time()

@@ -41,6 +41,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put(x: Any, sharding: NamedSharding) -> Any:
+    """device_put that also works when the mesh spans multiple processes.
+
+    In multi-controller JAX a plain ``device_put`` cannot target
+    non-addressable devices; each process instead contributes its addressable
+    shards of the (identically computed) global value via
+    ``make_array_from_callback``.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
 def shard_env_state(mesh: Mesh, env_state: Any, num_envs: int) -> Any:
     """Shard exactly the per-env leaves of the env-state pytree.
 
@@ -57,11 +71,11 @@ def shard_env_state(mesh: Mesh, env_state: Any, num_envs: int) -> Any:
 
     def place(x):
         batched = getattr(x, "ndim", 0) >= 1 and x.shape[0] == num_envs
-        return jax.device_put(x, sh if batched else rep)
+        return _put(x, sh if batched else rep)
 
     return jax.tree_util.tree_map(place, env_state)
 
 
 def replicate_state(mesh: Mesh, state: Any) -> Any:
     rep = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+    return jax.tree_util.tree_map(lambda x: _put(x, rep), state)

@@ -48,12 +48,32 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     if args.multi_host:
         # Multi-host data parallelism: one process per host, all hosts join a
-        # global mesh. jax.distributed reads the coordinator/topology from
-        # the TPU runtime environment (or JAX_COORDINATOR_ADDRESS et al.) —
-        # the TPU-native replacement for the reference's MPI rank setup
-        # (reference run.py:36-50). Must run before any device access.
+        # global mesh — the TPU-native replacement for the reference's MPI
+        # rank setup (reference run.py:36-50). Must run before any device
+        # access. On TPU pods the coordinator/topology is auto-detected from
+        # the runtime environment; elsewhere (e.g. the CPU multi-process
+        # smoke test) it comes from JAX_COORDINATOR_ADDRESS /
+        # JAX_NUM_PROCESSES / JAX_PROCESS_ID.
         import jax
-        jax.distributed.initialize()
+        coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+        if coord:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]),
+            )
+        else:
+            jax.distributed.initialize()
+        print(f"multi-host: process {jax.process_index()}/{jax.process_count()} "
+              f"sees {jax.local_device_count()} local / {jax.device_count()} "
+              f"global devices", flush=True)
+        # boot barrier: run one tiny cross-process collective NOW, while all
+        # processes are within seconds of each other. This establishes the
+        # backend's communicator context (Gloo on CPU has a hard 30 s
+        # context-init timeout that multi-minute compile skew would overrun)
+        # and fails fast on topology/config mismatch before the long compiles.
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("ase_tpu:multi_host_boot")
     cfg, cfg_train = cfg_util.load_cfg(args)
 
     env = parse_task(args.task, cfg, headless=args.headless)
@@ -67,7 +87,8 @@ def main(argv=None):
         player_cls = players.get(algo_name, players["common"])
         player = player_cls(agent)
         player.restore(args.checkpoint)
-        player.run(num_steps=cfg["env"]["episodeLength"])
+        player.run(num_steps=cfg["env"]["episodeLength"],
+                   video_path=args.save_video or None)
         return
 
     # multi-chip data parallelism (reference --horovod, run.py:36-50): shard
