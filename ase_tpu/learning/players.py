@@ -79,12 +79,18 @@ class CommonPlayer:
         )
         return ts, env_state, roll, rewards
 
-    def _run_chunk(self, ts, env_state, roll, ret, lens, num_steps):
+    _MARKER_KEYS = ("tar_dir", "tar_facing_dir", "tar_pos")
+
+    def _run_chunk(self, ts, env_state, roll, ret, lens, num_steps,
+                   capture_env: int = -1):
         """One jitted fixed-length rollout chunk. Returns the carried state
         plus per-step finished-game tallies (count, summed returns, summed
-        lengths) for the host-side game loop. The compiled chunk is cached
-        per length — chunks after the first replay the same executable."""
-        loop = self._chunk_fns.get(num_steps)
+        lengths) for the host-side game loop, and — when ``capture_env`` ≥ 0 —
+        that env's per-step body positions + task-marker values for video
+        rendering. The compiled chunk is cached per (length, capture) key —
+        chunks after the first replay the same executable."""
+        key = (num_steps, capture_env >= 0)
+        loop = self._chunk_fns.get(key)
         if loop is None:
 
             @jax.jit
@@ -101,6 +107,13 @@ class CommonPlayer:
                         jnp.sum(jnp.where(done, ret, 0.0)),
                         jnp.sum(jnp.where(done, lens, 0)),
                     )
+                    if capture_env >= 0:
+                        aux = getattr(env_state, "aux", {}) or {}
+                        frame = {"body_pos": env_state.body_pos[capture_env]}
+                        for k in self._MARKER_KEYS:
+                            if k in aux:
+                                frame[k] = aux[k][capture_env]
+                        step_out = step_out + (frame,)
                     ret = jnp.where(done, 0.0, ret)
                     lens = jnp.where(done, 0, lens)
                     return (ts, env_state, roll, ret, lens), step_out
@@ -110,7 +123,7 @@ class CommonPlayer:
                 )
                 return carry, ys
 
-            self._chunk_fns[num_steps] = loop
+            self._chunk_fns[key] = loop
 
         return loop(ts, env_state, roll, ret, lens)
 
@@ -122,10 +135,17 @@ class CommonPlayer:
         return {}
 
     def run(self, num_steps: int = 300, games_num: Optional[int] = None,
-            ts=None, env_state=None, max_chunks: int = 100):
+            ts=None, env_state=None, max_chunks: int = 100,
+            video_path: Optional[str] = None, video_env: int = 0,
+            video_max_frames: int = 900):
         """Reference ``CommonPlayer.run``: play until ``games_num`` episodes
         finish (in chunks of ``num_steps`` on-device steps), printing
-        per-game-batch stats, then the aggregate."""
+        per-game-batch stats, then the aggregate.
+
+        With ``video_path`` set, env ``video_env``'s body positions (and any
+        heading/location/strike task markers) are captured each step and
+        rendered to video at the end — the headless stand-in for the
+        reference's live viewer eval (reference base_task.py:142-164)."""
         games_num = int(games_num if games_num is not None else self.games_num)
         ts = ts if ts is not None else self.ts
         if env_state is None:
@@ -139,11 +159,18 @@ class CommonPlayer:
         sum_rewards = 0.0
         sum_steps = 0.0
         probes: Dict[str, float] = {}
+        capture_env = video_env if video_path else -1
+        captured: list = []
 
         for _ in range(max_chunks):
             (ts, env_state, roll, ret, lens), ys = self._run_chunk(
-                ts, env_state, roll, ret, lens, num_steps
+                ts, env_state, roll, ret, lens, num_steps,
+                capture_env=capture_env,
             )
+            if capture_env >= 0:
+                *ys, frames = ys
+                if len(captured) * num_steps < video_max_frames:
+                    captured.append(jax.device_get(frames))
             counts, rsums, lsums = (np.asarray(y) for y in jax.device_get(ys))
             for c, r, l in zip(counts, rsums, lsums):
                 if c > 0:
@@ -162,6 +189,20 @@ class CommonPlayer:
                     f"{k}: {v:.4f}" for k, v in probes.items()))
             if games_played >= games_num:
                 break
+
+        if video_path and captured:
+            from ase_tpu.viz.plotter import render_rollout
+            merged = {
+                k: np.concatenate([np.asarray(c[k]) for c in captured])[
+                    :video_max_frames]
+                for k in captured[0]
+            }
+            fps = 1.0 / float(getattr(self.env, "dt", 1.0 / 30.0))
+            written = render_rollout(
+                self.env.model.parents, merged.pop("body_pos"),
+                markers=merged, fps=fps, save_path=video_path,
+                title=self.agent.config.get("name", ""))
+            print(f"rollout video written: {written}")
 
         n = max(games_played, 1)
         stats = {

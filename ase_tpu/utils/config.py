@@ -69,6 +69,9 @@ def get_args(argv=None) -> argparse.Namespace:
     p.add_argument("--randomize", action="store_true", help="Domain randomization")
     p.add_argument("--bench", action="store_true",
                    help="Benchmark mode: no TensorBoard writer, no checkpoint saves")
+    p.add_argument("--save_video", type=str, default="",
+                   help="With --test: render env 0's rollout to this mp4/gif "
+                        "(headless replacement for the reference viewer)")
     args = p.parse_args(argv)
     if args.play:
         args.test = True

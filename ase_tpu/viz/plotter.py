@@ -137,6 +137,91 @@ def plot_skeleton_motion(
     return anim
 
 
+def render_rollout(
+    parents,
+    body_pos: np.ndarray,          # (T, nb, 3) simulated body positions
+    markers: Optional[dict] = None,  # name -> (T, 2|3) arrays (tar_pos/tar_dir/...)
+    fps: float = 30.0,
+    save_path: str = "rollout.mp4",
+    title: str = "",
+) -> str:
+    """Render a simulated rollout (one env's body positions per control step)
+    to a video file — the headless replacement for watching a trained policy
+    live in the reference's Isaac Gym viewer (reference base_task.py:142-164
+    render loop). mp4 via OpenCV when available; .gif falls back to pillow.
+
+    Returns the path actually written.
+    """
+    plt = _require_matplotlib()
+    import matplotlib
+    matplotlib.use("Agg", force=False)
+
+    body_pos = np.asarray(body_pos)
+    T = body_pos.shape[0]
+    markers = markers or {}
+
+    fig = plt.figure(figsize=(6.4, 4.8), dpi=100)
+    ax = fig.add_subplot(111, projection="3d")
+
+    frames = []
+    for f in range(T):
+        ax.clear()
+        pos = body_pos[f]
+        for b, p in enumerate(parents):
+            if p >= 0:
+                seg = np.stack([pos[p], pos[b]])
+                ax.plot(seg[:, 0], seg[:, 1], seg[:, 2], "g-")
+        ax.scatter(pos[:, 0], pos[:, 1], pos[:, 2], c="k", s=8)
+        root = pos[0]
+        if "tar_dir" in markers:
+            d = markers["tar_dir"][f]
+            ax.quiver(root[0], root[1], 0.05, d[0], d[1], 0.0,
+                      length=1.0, color="tab:orange")
+        if "tar_facing_dir" in markers:
+            d = markers["tar_facing_dir"][f]
+            ax.quiver(root[0], root[1], 0.05, d[0], d[1], 0.0,
+                      length=0.6, color="tab:purple")
+        if "tar_pos" in markers:
+            t = markers["tar_pos"][f]
+            z = t[2] if t.shape[-1] > 2 else 0.0
+            ax.scatter([t[0]], [t[1]], [z], c="tab:red", s=60, marker="*")
+        # camera follows the root (the reference viewer's follow-cam)
+        ax.set_xlim(root[0] - 1.5, root[0] + 1.5)
+        ax.set_ylim(root[1] - 1.5, root[1] + 1.5)
+        ax.set_zlim(0, 2.2)
+        ax.set_title(f"{title} frame {f}/{T - 1}")
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+        frames.append(buf.copy())
+    plt.close(fig)
+
+    return _write_video(frames, fps, save_path)
+
+
+def _write_video(frames, fps: float, save_path: str) -> str:
+    """Encode RGB frames: mp4 via cv2 if importable and the codec opens,
+    else animated gif via PIL (pure-Python, always available)."""
+    if save_path.endswith(".mp4"):
+        try:
+            import cv2
+            h, w = frames[0].shape[:2]
+            vw = cv2.VideoWriter(
+                save_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+            if vw.isOpened():
+                for fr in frames:
+                    vw.write(cv2.cvtColor(fr, cv2.COLOR_RGB2BGR))
+                vw.release()
+                return save_path
+        except ImportError:
+            pass
+        save_path = save_path[:-4] + ".gif"
+    from PIL import Image
+    imgs = [Image.fromarray(fr) for fr in frames]
+    imgs[0].save(save_path, save_all=True, append_images=imgs[1:],
+                 duration=int(1000.0 / fps), loop=0)
+    return save_path
+
+
 def plot_env_state(env, env_state, env_id: int = 0, ax=None, show: bool = True):
     """Draw the current simulated pose of one env (body positions) plus the
     task markers the reference renders as marker actors: heading/facing
