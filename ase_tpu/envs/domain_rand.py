@@ -105,14 +105,27 @@ class DomainRandomizer:
 
     # -- per-env property scales (resampled on schedule) ----------------------
 
-    def init_scales(self, B: int, base_restitution: float = 0.0) -> Dict[str, jnp.ndarray]:
+    def init_scales(self, B: int, base_restitution: float = 0.0,
+                    num_bodies: int = 0, num_shapes: int = 0,
+                    num_dofs: int = 0) -> Dict[str, jnp.ndarray]:
+        """Build the property-scale state. With ``num_bodies``/``num_shapes``/
+        ``num_dofs`` given, mass / friction / PD-gain knobs are per-env-PER-
+        ELEMENT arrays — the reference's granularity: ``apply_randomizations``
+        samples every rigid body's mass, every shape's friction, and every
+        dof's stiffness/damping independently (reference
+        base_task.py:332-386 iterates ``prop_idx``). Zero dims keep the
+        coarser per-env scalars (legacy callers / whole-actor scaling)."""
         self.base_restitution = float(base_restitution)
+
+        def ones(n):
+            return jnp.ones((B, n)) if n > 0 else jnp.ones(B)
+
         return {
-            "friction_scale": jnp.ones(B),
-            "mass_scale": jnp.ones(B),
-            "stiffness_scale": jnp.ones(B),
-            "damping_scale": jnp.ones(B),
-            "gravity_scale": jnp.ones(B),
+            "friction_scale": ones(num_shapes),
+            "mass_scale": ones(num_bodies),
+            "stiffness_scale": ones(num_dofs),
+            "damping_scale": ones(num_dofs),
+            "gravity_scale": jnp.ones(B),           # sim-global by nature
             "restitution": jnp.full((B,), float(base_restitution)),
             "dr_count": jnp.zeros(B, jnp.int32),
             # global control-step counter driving the per-property schedules
@@ -140,39 +153,49 @@ class DomainRandomizer:
         due_setup = mask & (scales["dr_count"] == 0)
         keys = jax.random.split(rng, 6)
 
-        def _upd(spec, key, cur, base):
+        def _upd(spec, key, cur, base=None):
+            # sampling at the CURRENT knob shape gives per-element draws for
+            # the per-body/per-shape/per-dof knobs (reference granularity)
+            if base is None:
+                base = jnp.ones_like(cur)
             d = due_setup if spec.setup_only else due
+            d = d.reshape(d.shape + (1,) * (cur.ndim - 1))
             v = spec.apply(key, base, step_count)
             return jnp.where(d, v, cur)
 
-        ones = jnp.ones(B)
         if self.friction_spec:
             out["friction_scale"] = _upd(
-                self.friction_spec, keys[0], scales["friction_scale"], ones)
+                self.friction_spec, keys[0], scales["friction_scale"])
         if self.mass_spec:
             out["mass_scale"] = _upd(
-                self.mass_spec, keys[1], scales["mass_scale"], ones)
+                self.mass_spec, keys[1], scales["mass_scale"])
         if self.stiffness_spec:
             out["stiffness_scale"] = _upd(
-                self.stiffness_spec, keys[2], scales["stiffness_scale"], ones)
+                self.stiffness_spec, keys[2], scales["stiffness_scale"])
         if self.damping_spec:
             out["damping_scale"] = _upd(
-                self.damping_spec, keys[3], scales["damping_scale"], ones)
+                self.damping_spec, keys[3], scales["damping_scale"])
         if self.gravity_spec:
             out["gravity_scale"] = _upd(
-                self.gravity_spec, keys[4], scales["gravity_scale"], ones)
+                self.gravity_spec, keys[4], scales["gravity_scale"])
         if self.restitution_spec:
             base = jnp.full((B,), getattr(self, "base_restitution", 0.0))
             out["restitution"] = jnp.clip(_upd(
                 self.restitution_spec, keys[5], scales["restitution"], base),
                 0.0, 1.0)
         if self.generator is not None:
-            # correlated external samples override the independent draws
+            # correlated external samples override the independent draws;
+            # per-env (B,) generator outputs broadcast over element dims
             gen_rng = jax.random.fold_in(rng, 101)
             for name, v in self.generator(gen_rng, B).items():
                 if name not in out:
                     raise KeyError(f"actor_params_generator produced unknown "
                                    f"property {name!r}")
-                out[name] = jnp.where(due, jnp.asarray(v), scales[name])
+                cur = scales[name]
+                v = jnp.asarray(v)
+                if v.ndim < cur.ndim:
+                    v = v.reshape(v.shape + (1,) * (cur.ndim - v.ndim))
+                d = due.reshape(due.shape + (1,) * (cur.ndim - 1))
+                out[name] = jnp.where(d, v, cur)
         out["dr_count"] = scales["dr_count"] + mask.astype(jnp.int32)
         return out

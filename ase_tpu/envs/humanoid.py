@@ -237,8 +237,14 @@ class Humanoid:
         if self._expose_dof_forces:
             aux["dof_forces"] = jnp.zeros((B, self.model.nd))
         if self._dr.enabled:
+            # reference-granularity knobs: per-rigid-body mass, per-shape
+            # friction, per-dof PD gains (base_task.py:332-386 samples each
+            # element independently)
             aux["dr"] = self._dr.init_scales(
-                B, base_restitution=self._plane_restitution)
+                B, base_restitution=self._plane_restitution,
+                num_bodies=self.model.nb,
+                num_shapes=self.model.nb + self.model.num_props,
+                num_dofs=self.model.nd)
         return aux
 
     # -- kinematic refresh (the analog of refresh_*_tensor views) ------------

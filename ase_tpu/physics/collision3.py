@@ -312,6 +312,10 @@ def detect_batched(
     margin: float = 0.0,     # speculative margin: keep contacts with
                              # depth > -margin (gap candidates) so the solver
                              # can constrain them (SolverConfig.contact_offset)
+    friction_scale=None,     # optional (B, nb+np) per-body friction DR
+                             # multipliers (reference per-shape
+                             # rigid_shape_properties.friction randomization,
+                             # base_task.py:332-386)
 ) -> Contacts:
     T = tables
     B = body_pos.shape[0]
@@ -486,8 +490,21 @@ def detect_batched(
     py = jnp.concatenate(py_g, axis=1)
     pz = jnp.concatenate(pz_g, axis=1)
     mu = jnp.concatenate(mu_groups, axis=1)
-    ba = jnp.asarray(np.concatenate(ba_list))           # (C,)
-    bb_ = jnp.asarray(np.concatenate(bb_list))
+    ba_np = np.concatenate(ba_list)                     # (C,) static
+    bb_np = np.concatenate(bb_list)
+    if friction_scale is not None:
+        # per-body friction DR on the candidate row, pre-selection. The
+        # static per-candidate body indices make this a constant-index
+        # gather (a column reshuffle of the (B, nbp) scale matrix, no
+        # dynamic scatter). The combined mu is a geometric mean of the two
+        # shapes' frictions (see pair-table construction above), so the
+        # per-shape multipliers combine as sqrt(s_a * s_b); the ground
+        # plane (body -1) is not an actor shape and keeps scale 1.
+        sa = jnp.where(ba_np >= 0, friction_scale[:, np.maximum(ba_np, 0)], 1.0)
+        sb = jnp.where(bb_np >= 0, friction_scale[:, np.maximum(bb_np, 0)], 1.0)
+        mu = mu * jnp.sqrt(sa * sb)
+    ba = jnp.asarray(ba_np)
+    bb_ = jnp.asarray(bb_np)
 
     k = min(max_contacts, depth.shape[1])
     Bn, C = depth.shape

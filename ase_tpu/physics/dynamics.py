@@ -434,12 +434,19 @@ def dof_pos_batched(model: M.Model, states: State) -> jnp.ndarray:
 
 def pd_torques_batched(model: M.Model, states: State, pd_target: jnp.ndarray,
                        dt: float, kd_scale=None) -> jnp.ndarray:
-    """(B, nd) Stable-PD torques for a batched State (see pd_torques)."""
+    """(B, nd) Stable-PD torques for a batched State (see pd_torques).
+
+    ``kd_scale`` is a damping-DR multiplier: per-env (B,) or per-actuated-dof
+    (B, nd) (reference dof_properties.damping randomization samples every dof
+    independently, base_task.py:332-386)."""
     sph_rows, sph_cols, hin_rows, hin_cols = _dof_tables(model)
     B = pd_target.shape[0]
     kp, kd = model.stiffness, model.damping
     qd = states.u[:, model.root_dofs : model.nu]                    # (B, nd)
-    ks = (kd_scale[:, None] if kd_scale is not None else 1.0)
+    if kd_scale is not None and kd_scale.ndim == 1:
+        ks = jnp.broadcast_to(kd_scale[:, None], (B, model.nd))
+    else:
+        ks = kd_scale                                               # (B, nd) | None
     out = jnp.zeros((B, model.nd))
     if len(sph_rows):
         q_cur = states.joint_q[:, sph_rows]                         # (B, S, 4)
@@ -449,13 +456,14 @@ def pd_torques_batched(model: M.Model, states: State, pd_target: jnp.ndarray,
         w_loc = qd[:, sph_cols].reshape(B, -1, 3)
         kp_s = kp[sph_cols].reshape(-1, 3)
         kd_s = kd[sph_cols].reshape(-1, 3)
-        ks3 = ks[..., None] if kd_scale is not None else 1.0
+        ks3 = ks[:, sph_cols].reshape(B, -1, 3) if ks is not None else 1.0
         tau_s = kp_s * (err - dt * w_loc) - kd_s * ks3 * w_loc
         out = out.at[:, sph_cols].set(tau_s.reshape(B, -1))
     if len(hin_rows):
         e = pd_target[:, hin_cols] - states.hinge_q[:, hin_rows]
+        ksh = ks[:, hin_cols] if ks is not None else 1.0
         tau_h = (kp[hin_cols] * (e - dt * qd[:, hin_cols])
-                 - kd[hin_cols] * ks * qd[:, hin_cols])
+                 - kd[hin_cols] * ksh * qd[:, hin_cols])
         out = out.at[:, hin_cols].set(tau_h)
     return out
 

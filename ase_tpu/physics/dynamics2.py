@@ -167,16 +167,26 @@ def compute_dynamics_batch_last(model: M.Model, states, kin, dt: float,
     Returns (M_bl (nu, nu, B), bias (B, nu), Phi (B, nu, 6)) matching
     ``vmap(dynamics.compute_dynamics)`` up to layout.
 
-    ``mass_scale``/``gravity_scale`` are optional per-env (B,) domain-
-    randomization multipliers (reference base_task.py:306-386 actor
-    rigid_body_properties.mass / sim_params.gravity). Mass scaling is exact:
-    every inertia-linear term (mass matrix before the armature diagonal, all
+    ``mass_scale``/``gravity_scale`` are optional domain-randomization
+    multipliers (reference base_task.py:306-386 actor
+    rigid_body_properties.mass / sim_params.gravity). ``mass_scale`` is
+    per-env (B,) — whole-actor density — or per-env-per-body (B, nb),
+    matching the reference's independent per-rigid-body sampling
+    (base_task.py:332-386 iterates prop_idx). ``damping_scale`` is per-env
+    (B,) or per-actuated-dof (B, nd). Mass scaling is exact: every
+    inertia-linear term (mass matrix before the armature diagonal, all
     velocity-product and gravity bias forces) is scaled; motor armature and
     damping are reflected rotor properties and intentionally NOT scaled.
     """
     st = _static(model)
     nb, nu = model.nb, model.nu
     B = states.root_pos.shape[0]
+    # per-body mass DR folds into the body masses/inertias BEFORE composite
+    # assembly (density scaling: the geometry is unchanged, so each body's
+    # rotational inertia scales with its mass); the (B,) whole-actor case
+    # keeps the cheaper post-assembly broadcast below
+    per_body_mass = mass_scale is not None and mass_scale.ndim == 2
+    ms_bl = mass_scale.T if per_body_mass else None     # (nb, B)
 
     # --- kinematics components, (nb, B) ---
     q = kin.body_quat                                  # (B, nb, 4)
@@ -223,6 +233,9 @@ def compute_dynamics_batch_last(model: M.Model, states, kin, dt: float,
     Isym = _symprod_RIR(Rc, st.inertia)                # I_com in world axes
     c_off = tuple(cc - o for cc, o in zip(cw, origin)) # com - origin
     mass = jnp.asarray(st.mass)[:, None]
+    if per_body_mass:
+        mass = mass * ms_bl
+        Isym = tuple(c * ms_bl for c in Isym)
     h = tuple(mass * c for c in c_off)
     c2 = _dot(c_off, c_off)
     # TL = I_w + m((c.c)δ - c c^T)
@@ -239,12 +252,14 @@ def compute_dynamics_batch_last(model: M.Model, states, kin, dt: float,
     S = jnp.asarray(st.S)
     Sc = _mm_multi(S, TL + h)
     TLc, hc = Sc[:6], Sc[6:]
-    msub = jnp.asarray(st.msub)[:, None]
 
     # --- F = Ic[body(d)] Phi(d); G/M assembly ---
     TLd = tuple(t[dbd] for t in TLc)
     hd = tuple(t[dbd] for t in hc)
-    md = jnp.asarray(st.msub[st.db_dyn])[:, None]
+    if per_body_mass:
+        md = (S @ mass)[dbd]                           # (nu, B) subtree mass
+    else:
+        md = jnp.asarray(st.msub[st.db_dyn])[:, None]
     F_a = tuple(
         s + c for s, c in zip(_sym_mv(TLd, phi_a), _cross(hd, phi_l))
     )
@@ -305,7 +320,8 @@ def compute_dynamics_batch_last(model: M.Model, states, kin, dt: float,
 
     # per-env mass scaling: M (pre-armature) and the bias are both linear in
     # the body inertias, so a whole-actor mass multiplier is one broadcast
-    if mass_scale is not None:
+    # (the per-body case was folded into mass/Isym before assembly above)
+    if mass_scale is not None and not per_body_mass:
         M_bl = M_bl * mass_scale[None, None, :]
         bias = bias * mass_scale[None, :]
 
@@ -321,12 +337,20 @@ def compute_dynamics_batch_last(model: M.Model, states, kin, dt: float,
         eye = jnp.asarray(np.eye(nu, dtype=np.float32) * (diag + damp)[None, :])
         M_bl = M_bl + eye[:, :, None]
     else:
-        # per-env damping DR: only the dt*kd part of the implicit diagonal
-        # scales (armature is a reflected rotor property, not a damper)
+        # damping DR: only the dt*kd part of the implicit diagonal scales
+        # (armature is a reflected rotor property, not a damper).
+        # (B,) = per-env; (B, nd) = per-actuated-dof (reference dof_properties
+        # randomization samples each dof independently, base_task.py:332-386)
         eye = jnp.asarray(np.eye(nu, dtype=np.float32) * diag[None, :])
-        M_bl = (M_bl + eye[:, :, None]
-                + jnp.asarray(np.eye(nu, dtype=np.float32) * damp[None, :])[:, :, None]
-                * damping_scale[None, None, :])
+        if damping_scale.ndim == 2:
+            ds_full = jnp.ones((nu, B)).at[rd:, :].set(damping_scale.T)
+            M_bl = (M_bl + eye[:, :, None]
+                    + jnp.asarray(np.eye(nu, dtype=np.float32))[:, :, None]
+                    * (jnp.asarray(damp)[:, None] * ds_full)[:, None, :])
+        else:
+            M_bl = (M_bl + eye[:, :, None]
+                    + jnp.asarray(np.eye(nu, dtype=np.float32) * damp[None, :])[:, :, None]
+                    * damping_scale[None, None, :])
 
     Phi = jnp.stack([c.T for c in phi_a + phi_l], axis=-1)   # (B, nu, 6)
     return M_bl, bias.T, Phi

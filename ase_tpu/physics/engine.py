@@ -142,19 +142,26 @@ def _detect_contacts(model: M.Model, cfg: SimConfig, tables, states: State,
     """
     prop_R = rot.quat_to_rotation_matrix(states.prop_quat)
     margin = cfg.solver.contact_offset
+    per_body_fs = friction_scale.ndim == 2      # (B, nb+np) per-shape DR
     if getattr(tables, "soa", None) is not None and os.environ.get(
         "ASE_TPU_COLLISION_AOS", "0"
     ) != "1":
         contacts = collision3.detect_batched(
             model, tables.soa, kin.body_quat, kin.body_pos, states.prop_quat,
             states.prop_pos, cfg.max_contacts, margin=margin,
+            friction_scale=friction_scale if per_body_fs else None,
         )
+        if per_body_fs:
+            return contacts
     else:
         contacts = jax.vmap(
             lambda bR, bp, pR, pp: collision2.detect(
                 model, tables, bR, bp, pR, pp, cfg.max_contacts, margin=margin
             )
         )(kin.body_R, kin.body_pos, prop_R, states.prop_pos)
+        if per_body_fs:
+            # AoS parity oracle: coarsen per-body DR to its per-env mean
+            friction_scale = jnp.mean(friction_scale, axis=1)
     return contacts._replace(friction=contacts.friction * friction_scale[:, None])
 
 
@@ -177,9 +184,11 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
         if mass_scale is not None:
             # A/B debug path: post-hoc scaling also touches the armature
             # diagonal (negligible vs body inertias); the default batch-last
-            # path scales exactly (pre-armature, inside dynamics2)
-            M_bl = M_bl * mass_scale[None, None, :]
-            bias = bias * mass_scale[:, None]
+            # path scales exactly (pre-armature, inside dynamics2). Per-body
+            # DR coarsens to its per-env mean here.
+            ms = mass_scale if mass_scale.ndim == 1 else jnp.mean(mass_scale, axis=1)
+            M_bl = M_bl * ms[None, None, :]
+            bias = bias * ms[:, None]
     else:
         M_bl, bias, Phi = dynamics2.compute_dynamics_batch_last(
             model, states, kin, h,
@@ -209,7 +218,9 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
         )(states)
     else:
         limit = dynamics.limit_torques_batched(model, states, cfg.limit_stiffness)
-    tau = tau * gain_scale[:, None] + limit
+    # stiffness DR: per-env (B,) or per-actuated-dof (B, nd)
+    gs = gain_scale[:, None] if gain_scale.ndim == 1 else gain_scale
+    tau = tau * gs + limit
     tau_full = jnp.zeros((Bn, nu)).at[:, model.root_dofs :].set(tau)
 
     # free props: gravity + gyroscopic terms (batched closed form)

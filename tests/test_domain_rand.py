@@ -96,6 +96,58 @@ def test_damping_scale_changes_dynamics(sim, stepper):
     np.testing.assert_allclose(u[0], u_ref[0], atol=1e-5)
 
 
+def test_per_body_mass_scale(sim, stepper):
+    """Per-body (B, nb) mass DR: scaling different bodies produces different
+    dynamics, and an all-ones per-body matrix is inert (matches the per-env
+    baseline) — the reference samples every rigid body independently
+    (base_task.py:332-386)."""
+    model = sim[0]
+    actions = jnp.tile(jnp.full((1, model.nd), 0.3), (2, 1))
+    # env 0: body 1 heavy; env 1: last body heavy — same total perturbation
+    ms = jnp.ones((2, model.nb))
+    ms = ms.at[0, 1].set(1.8).at[1, model.nb - 1].set(1.8)
+    u = stepper(actions, ms=ms)
+    assert not np.allclose(u[0], u[1], atol=1e-5)
+    u_id = stepper(actions, ms=jnp.ones((2, model.nb)))
+    u_ref = stepper(actions)
+    np.testing.assert_allclose(u_id, u_ref, atol=1e-4)
+
+
+def test_per_shape_friction_scale(sim, stepper):
+    """Per-shape (B, nb+np) friction DR reaches the contact path: killing
+    friction on the feet only differs from killing it on the torso only."""
+    model = sim[0]
+    nbp = model.nb + model.num_props
+    actions = jnp.tile(jnp.full((1, model.nd), 0.2), (2, 1))
+    # feet are the bodies in ground contact for a standing humanoid
+    feet = [model.body_names.index(n) for n in ("right_foot", "left_foot")]
+    fs = jnp.ones((2, nbp))
+    for b in feet:
+        fs = fs.at[0, b].set(0.02)
+    fs = fs.at[1, 1].set(0.02)          # a non-contacting body: no effect
+    u = stepper(actions, fs=fs)
+    u_ref = stepper(actions)
+    assert not np.allclose(u[0], u_ref[0], atol=1e-6)
+    np.testing.assert_allclose(u[1], u_ref[1], atol=1e-6)
+
+
+def test_per_dof_gain_scales(sim, stepper):
+    """Per-dof (B, nd) stiffness/damping DR: scaling different dofs produces
+    different dynamics; all-ones is inert."""
+    model = sim[0]
+    actions = jnp.tile(jnp.full((1, model.nd), 0.4), (2, 1))
+    gs = jnp.ones((2, model.nd)).at[0, 0].set(0.2).at[1, model.nd - 1].set(0.2)
+    u = stepper(actions, gs=gs)
+    assert not np.allclose(u[0], u[1], atol=1e-5)
+    ds = jnp.ones((2, model.nd)).at[0, 0].set(0.05).at[1, model.nd - 1].set(0.05)
+    u = stepper(actions, ds=ds)
+    assert not np.allclose(u[0], u[1], atol=1e-5)
+    u_id = stepper(actions, gs=jnp.ones((2, model.nd)),
+                   ds=jnp.ones((2, model.nd)))
+    u_ref = stepper(actions)
+    np.testing.assert_allclose(u_id, u_ref, atol=1e-5)
+
+
 def test_restitution_changes_dynamics(sim, stepper):
     """A bouncy character collapsing onto its feet picks up outgoing normal
     velocity at the contacts; e=0 (inelastic default) does not."""
