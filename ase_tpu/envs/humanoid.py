@@ -88,7 +88,10 @@ class Humanoid:
                 ),
                 contact_offset=float(physx.get("contact_offset", 0.02)),
             ),
-            max_contacts=int(env_cfg.get("maxContacts", 24)),
+            # ASE_TPU_MAX_CONTACTS: perf A/B override of the contact budget
+            # (K scales the Delassus/Jacobi system: 3K x 3K per env)
+            max_contacts=int(os.environ.get(
+                "ASE_TPU_MAX_CONTACTS", env_cfg.get("maxContacts", 24))),
             enable_self_collision=bool(env_cfg.get("enableSelfCollision", True)),
             torque_control=not self._pd_control,
             power_scale=self.power_scale,

@@ -46,9 +46,19 @@ def main():
         err = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
         print(f"{name}: rel err {err:.2e}")
 
+    # split-rhs variant (engine passes the Jacobian block and the tau-bias
+    # column as separate operands): parity vs the concatenated run
+    L_2, Ya, Yb = pallas_chol._chol_forward2_pallas(
+        M_bl, rhs[:, :-1], rhs[:, -1:])
+    err2 = np.max(np.abs(np.concatenate(
+        [np.asarray(Ya), np.asarray(Yb)], axis=1) - np.asarray(Y_p)))
+    print(f"split-rhs Y: abs err {err2:.2e}")
+
     t_xla = timeit(jax.jit(lambda M, r: pallas_chol._chol_forward_xla(M, r)), M_bl, rhs)
     t_pal = timeit(pallas_chol._chol_forward_pallas, M_bl, rhs)
-    print(f"chol_forward: xla {t_xla:.3f} ms  pallas {t_pal:.3f} ms")
+    t_pal2 = timeit(pallas_chol._chol_forward2_pallas, M_bl, rhs[:, :-1], rhs[:, -1:])
+    print(f"chol_forward: xla {t_xla:.3f} ms  pallas {t_pal:.3f} ms  "
+          f"pallas-split {t_pal2:.3f} ms")
     y1 = Y_x[:, :1, :]
     t_xla_b = timeit(jax.jit(lambda L, y: pallas_chol._back_solve_xla(L, y)), L_x, y1)
     t_pal_b = timeit(pallas_chol._back_solve_pallas, L_p, y1)
