@@ -16,7 +16,7 @@ with slerp, local-rotation→dof conversion), re-designed TPU-first:
 from __future__ import annotations
 
 import os
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +51,16 @@ class MotionLib:
     dof_body_ids: Tuple[int, ...] = struct.field(pytree_node=False)
     dof_offsets: Tuple[int, ...] = struct.field(pytree_node=False)
     num_joints: int = struct.field(pytree_node=False)
+
+    # packed per-frame feature matrix (F, Dp) — every field get_motion_state
+    # needs, concatenated so the blended query is TWO row gathers instead of
+    # ~11 per-field gathers (the reset path's gather soup was dispatch-bound).
+    # Layout: [root_pos(3) | root_rot(4) | lrs(4J) | root_vel(3) |
+    #          root_ang_vel(3) | dof_vel(D) | key_pos(3K)].
+    packed: Optional[jnp.ndarray] = None
+    # packed per-clip metadata (M, 4) f32: [length, num_frames, dt,
+    # length_start] — one gather instead of four (counts < 2^24 are exact).
+    meta: Optional[jnp.ndarray] = None
 
     @property
     def num_dof(self) -> int:
@@ -115,7 +125,16 @@ def get_motion_state(lib: MotionLib, motion_ids: jnp.ndarray, motion_times: jnp.
 
     Returns dict with root_pos, root_rot, dof_pos, root_vel, root_ang_vel,
     dof_vel, key_pos — all leading shape = motion_ids.shape.
+
+    Default path reads the packed (F, Dp) frame matrix: 2 row gathers + 1
+    metadata gather per query (the per-field path's ~15 gathers were the
+    dispatch-bound "reset gather soup"). ``ASE_TPU_UNPACKED_MOTION=1``
+    restores the per-field path (bit-identical results; parity-tested).
     """
+    if lib.packed is not None and os.environ.get(
+            "ASE_TPU_UNPACKED_MOTION", "0") != "1":
+        return _get_motion_state_packed(lib, motion_ids, motion_times)
+
     length = lib.lengths[motion_ids]
     nf = lib.num_frames[motion_ids]
     dt = lib.dt[motion_ids]
@@ -149,6 +168,82 @@ def get_motion_state(lib: MotionLib, motion_ids: jnp.ndarray, motion_times: jnp.
         "dof_vel": dof_vel,
         "key_pos": key_pos,
     }
+
+
+def _packed_offsets(lib: MotionLib):
+    """Static column offsets into the packed frame matrix."""
+    J = lib.num_joints
+    D = lib.num_dof
+    o_rot = 3
+    o_lrs = o_rot + 4
+    o_vel = o_lrs + 4 * J
+    o_avel = o_vel + 3
+    o_dvs = o_avel + 3
+    o_key = o_dvs + D
+    return o_rot, o_lrs, o_vel, o_avel, o_dvs, o_key
+
+
+def _get_motion_state_packed(lib: MotionLib, motion_ids, motion_times):
+    meta = lib.meta[motion_ids]                       # one (n, 4) gather
+    length = meta[..., 0]
+    nf = meta[..., 1].astype(jnp.int32)
+    dt = meta[..., 2]
+    starts = meta[..., 3].astype(jnp.int32)
+
+    idx0, idx1, blend = _calc_frame_blend(motion_times, length, nf, dt)
+    p0 = lib.packed[idx0 + starts]                    # (n, Dp)
+    p1 = lib.packed[idx1 + starts]
+    b = blend[..., None]
+
+    o_rot, o_lrs, o_vel, o_avel, o_dvs, o_key = _packed_offsets(lib)
+    J = lib.num_joints
+    K = int(lib.key_body_ids.shape[0])
+    lead = p0.shape[:-1]
+
+    root_pos = (1.0 - b) * p0[..., :o_rot] + b * p1[..., :o_rot]
+    root_rot = rot.slerp(p0[..., o_rot:o_lrs], p1[..., o_rot:o_lrs], b)
+
+    lr0 = p0[..., o_lrs:o_vel].reshape(lead + (J, 4))
+    lr1 = p1[..., o_lrs:o_vel].reshape(lead + (J, 4))
+    local_rot = rot.slerp(lr0, lr1, b[..., None])
+    dof_pos = local_rotation_to_dof(lib, local_rot)
+
+    key0 = p0[..., o_key:o_key + 3 * K].reshape(lead + (K, 3))
+    key1 = p1[..., o_key:o_key + 3 * K].reshape(lead + (K, 3))
+    key_pos = (1.0 - b[..., None]) * key0 + b[..., None] * key1
+
+    return {
+        "root_pos": root_pos,
+        "root_rot": root_rot,
+        "dof_pos": dof_pos,
+        "root_vel": p0[..., o_vel:o_avel],
+        "root_ang_vel": p0[..., o_avel:o_dvs],
+        "dof_vel": p0[..., o_dvs:o_key],
+        "key_pos": key_pos,
+    }
+
+
+def _build_packed(gts, grs, lrs, gvs, gavs, dvs, key_body_ids,
+                  lengths, num_frames, dts, starts):
+    """Host-side packed frame matrix + clip metadata (see MotionLib.packed)."""
+    F = gts.shape[0]
+    key = np.asarray(key_body_ids, dtype=np.int64)
+    packed = np.concatenate([
+        np.asarray(gts[:, 0], np.float32),
+        np.asarray(grs[:, 0], np.float32),
+        np.asarray(lrs, np.float32).reshape(F, -1),
+        np.asarray(gvs[:, 0], np.float32),
+        np.asarray(gavs[:, 0], np.float32),
+        np.asarray(dvs, np.float32),
+        np.asarray(gts[:, key], np.float32).reshape(F, -1),
+    ], axis=1)
+    meta = np.stack([
+        np.asarray(lengths, np.float32),
+        np.asarray(num_frames, np.float32),
+        np.asarray(dts, np.float32),
+        np.asarray(starts, np.float32),
+    ], axis=1)
+    return packed, meta
 
 
 def get_body_state(lib: MotionLib, motion_ids: jnp.ndarray, motion_times: jnp.ndarray):
@@ -301,6 +396,11 @@ def load_motion_lib(
         cpath = _cache_path(motion_file, files, weights, dof_body_ids, dof_offsets)
         cached = _try_native_cache(cpath)
         if cached is not None:
+            packed, meta = _build_packed(
+                cached["gts"], cached["grs"], cached["lrs"], cached["gvs"],
+                cached["gavs"], cached["dvs"], key_body_ids,
+                cached["lengths"], cached["num_frames"], cached["dt"],
+                cached["length_starts"])
             lib = MotionLib(
                 gts=jnp.asarray(cached["gts"]), grs=jnp.asarray(cached["grs"]),
                 lrs=jnp.asarray(cached["lrs"]), gvs=jnp.asarray(cached["gvs"]),
@@ -314,6 +414,7 @@ def load_motion_lib(
                 dof_body_ids=tuple(int(i) for i in dof_body_ids),
                 dof_offsets=tuple(int(i) for i in dof_offsets),
                 num_joints=int(cached["gts"].shape[1]),
+                packed=jnp.asarray(packed), meta=jnp.asarray(meta),
             )
             return lib
 
@@ -368,13 +469,20 @@ def load_motion_lib(
             "weights": w,
         })
 
+    gts_c, grs_c, lrs_c = (np.concatenate(all_gts), np.concatenate(all_grs),
+                           np.concatenate(all_lrs))
+    gvs_c, gavs_c, dvs_c = (np.concatenate(all_gvs), np.concatenate(all_gavs),
+                            np.concatenate(all_dvs))
+    packed, meta = _build_packed(
+        gts_c, grs_c, lrs_c, gvs_c, gavs_c, dvs_c, key_body_ids,
+        lengths, nf, dts, starts)
     lib = MotionLib(
-        gts=jnp.asarray(np.concatenate(all_gts)),
-        grs=jnp.asarray(np.concatenate(all_grs)),
-        lrs=jnp.asarray(np.concatenate(all_lrs)),
-        gvs=jnp.asarray(np.concatenate(all_gvs)),
-        gavs=jnp.asarray(np.concatenate(all_gavs)),
-        dvs=jnp.asarray(np.concatenate(all_dvs)),
+        gts=jnp.asarray(gts_c),
+        grs=jnp.asarray(grs_c),
+        lrs=jnp.asarray(lrs_c),
+        gvs=jnp.asarray(gvs_c),
+        gavs=jnp.asarray(gavs_c),
+        dvs=jnp.asarray(dvs_c),
         length_starts=jnp.asarray(starts),
         lengths=jnp.asarray(np.asarray(lengths, dtype=np.float32)),
         num_frames=jnp.asarray(nf),
@@ -384,5 +492,6 @@ def load_motion_lib(
         dof_body_ids=tuple(int(i) for i in dof_body_ids),
         dof_offsets=tuple(int(i) for i in dof_offsets),
         num_joints=tree.num_joints,
+        packed=jnp.asarray(packed), meta=jnp.asarray(meta),
     )
     return lib

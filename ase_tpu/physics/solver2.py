@@ -19,6 +19,7 @@ reference configures (reference ``ase/utils/config.py:135-142``).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -319,7 +320,11 @@ def jacobi_lambda(
             [ln * active, l1 * scale * active, l2 * scale * active], axis=1
         )
 
-    return jax.lax.fori_loop(0, cfg.iterations, body, jnp.zeros((B, 3 * K)))
+    # Unrolling puts several matvecs in one loop-body region (fewer loop
+    # boundary syncs for a dispatch-latency-bound iteration) — A/B escape.
+    unroll = int(os.environ.get("ASE_TPU_JACOBI_UNROLL", "1"))
+    return jax.lax.fori_loop(0, cfg.iterations, body, jnp.zeros((B, 3 * K)),
+                             unroll=unroll)
 
 
 def body_forces_from_lambda(model: M.Model, contacts: Contacts,

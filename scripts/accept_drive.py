@@ -1,11 +1,11 @@
-"""One-shot acceptance drive: bench throughput + shipped-LLC quality eval.
+"""One-shot acceptance drive: bench throughput + shipped-model quality evals.
 
-Runs the two TPU product drives the verify recipe prescribes and prints a
-single JSON summary:
-  {"bench_steps_per_sec": ..., "vs_baseline": ..., "llc_mean_return": ...,
-   "llc_mean_length": ..., "llc_episodes": ...}
+Runs the TPU product drives the verify recipe prescribes and prints a single
+JSON summary: bench steps/s + vs_baseline, the shipped LLC's eval return, and
+every shipped HLC checkpoint evaluated through HRLPlayer (the reference
+distributes LLC + 4 task HLCs, README.md:68-96).
 
-Usage: python scripts/accept_drive.py
+Usage: python scripts/accept_drive.py [--skip-bench] [--hlc-steps N]
 """
 
 import json
@@ -15,20 +15,74 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# downstream task -> (env cfg, shipped HLC checkpoint)
+HLC_TASKS = {
+    "HumanoidHeading": "humanoid_sword_shield_heading.yaml",
+    "HumanoidLocation": "humanoid_sword_shield_location.yaml",
+    "HumanoidReach": "humanoid_sword_shield_reach.yaml",
+    "HumanoidStrike": "humanoid_sword_shield_strike.yaml",
+}
+LLC_CKPT = "data/models/ase_llc_reallusion_sword_shield.ckpt.npz"
+
+
+def eval_hlcs(num_steps: int):
+    """Evaluate every shipped HLC checkpoint through HRLPlayer."""
+    import yaml
+
+    from ase_tpu.envs import parse_task
+    from ase_tpu.learning.hrl_agent import HRLAgent
+    from ase_tpu.learning.players import HRLPlayer
+    from ase_tpu.utils import paths
+
+    out = {}
+    for task, cfg_name in HLC_TASKS.items():
+        short = task.replace("Humanoid", "").lower()
+        ckpt_path = os.path.join(
+            ROOT, f"data/models/ase_hlc_{short}_reallusion_sword_shield.ckpt.npz")
+        if not os.path.exists(ckpt_path):
+            out[short] = None
+            continue
+        cfg = yaml.safe_load(open(os.path.join(ROOT, "data/cfg", cfg_name)))
+        cfg["env"]["numEnvs"] = 256
+        cfg["env"]["motion_file"] = paths.default_dataset()
+        cfg_train = yaml.safe_load(open(os.path.join(
+            ROOT, "data/cfg/train/rlg/hrl_humanoid.yaml")))
+        c = cfg_train["params"]["config"]
+        c["minibatch_size"] = 4096
+        c["llc_checkpoint"] = os.path.join(ROOT, LLC_CKPT)
+        env_ = parse_task(task, cfg)
+        agent = HRLAgent(env_, cfg_train)
+        player = HRLPlayer(agent, print_stats=False)
+        ts = player.restore(ckpt_path)
+        stats = player.run(num_steps=num_steps, ts=ts)
+        out[short] = {
+            "mean_return": round(stats["mean_return"], 1),
+            "mean_length": round(stats["mean_length"], 1),
+            "episodes": stats["episodes"],
+        }
+    return out
+
 
 def main():
-    env = dict(os.environ)
-    bench = subprocess.run(
-        [sys.executable, "-u", os.path.join(ROOT, "bench.py")],
-        capture_output=True, text=True, env=env, timeout=2400)
-    bench_json = None
-    for line in bench.stdout.splitlines():
-        if line.startswith("{"):
-            bench_json = json.loads(line)
-    if bench_json is None:
-        print(bench.stdout[-2000:], file=sys.stderr)
-        print(bench.stderr[-2000:], file=sys.stderr)
-        raise SystemExit("bench produced no JSON line")
+    skip_bench = "--skip-bench" in sys.argv
+    hlc_steps = 120
+    if "--hlc-steps" in sys.argv:
+        hlc_steps = int(sys.argv[sys.argv.index("--hlc-steps") + 1])
+
+    bench_json = {"value": None, "vs_baseline": None}
+    if not skip_bench:
+        env = dict(os.environ)
+        bench = subprocess.run(
+            [sys.executable, "-u", os.path.join(ROOT, "bench.py")],
+            capture_output=True, text=True, env=env, timeout=2400)
+        bench_json = None
+        for line in bench.stdout.splitlines():
+            if line.startswith("{"):
+                bench_json = json.loads(line)
+        if bench_json is None:
+            print(bench.stdout[-2000:], file=sys.stderr)
+            print(bench.stderr[-2000:], file=sys.stderr)
+            raise SystemExit("bench produced no JSON line")
 
     sys.path.insert(0, ROOT)
     import yaml
@@ -61,6 +115,7 @@ def main():
         "llc_mean_return": round(stats["mean_return"], 1),
         "llc_mean_length": round(stats["mean_length"], 1),
         "llc_episodes": stats["episodes"],
+        "hlc": eval_hlcs(hlc_steps),
     }))
 
 

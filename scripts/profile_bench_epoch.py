@@ -71,6 +71,26 @@ def main():
     wall = (time.time() - t0) / 3
     print(f"# epoch wall: {wall * 1e3:.1f} ms "
           f"({horizon * num_envs / wall / 1e3:.1f}k steps/s)", file=sys.stderr)
+
+    # phase split: time the two epoch jits separately (they are the same
+    # compiled modules the fused epoch calls — see common_agent.train_epoch)
+    roll_jit = jax.jit(agent._rollout_phase_impl)
+    upd_jit = jax.jit(agent._update_phase_impl)
+    ts2, env2, dataset, _ = roll_jit(ts, env_state)
+    ts2, _ = upd_jit(ts2, dataset)
+    jax.block_until_ready(ts2.params)
+    t0 = time.time()
+    for _ in range(3):
+        _, _, dataset, rm = roll_jit(ts, env_state)
+    jax.block_until_ready(rm)
+    t_roll = (time.time() - t0) / 3
+    t0 = time.time()
+    for _ in range(3):
+        ts3, m = upd_jit(ts, dataset)
+    jax.block_until_ready(m)
+    t_upd = (time.time() - t0) / 3
+    print(f"# phase split: rollout {t_roll * 1e3:.1f} ms, "
+          f"update {t_upd * 1e3:.1f} ms", file=sys.stderr)
     print(f"# trace in {out_dir}", file=sys.stderr)
 
 

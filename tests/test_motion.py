@@ -59,6 +59,24 @@ def test_exact_frame_query(lib):
         )
 
 
+def test_packed_query_parity(lib, monkeypatch):
+    """The packed (F, Dp) fast path is bit-identical to the per-field path."""
+    assert lib.packed is not None and lib.meta is not None
+    rng = jax.random.PRNGKey(7)
+    k1, k2 = jax.random.split(rng)
+    ids = ml.sample_motions(lib, k1, 64)
+    times = ml.sample_time(lib, k2, ids)
+    # include exact-frame and clip-end edge cases
+    dt = float(lib.dt[0])
+    times = times.at[:3].set(jnp.asarray([0.0, 5 * dt, float(lib.lengths[0])]))
+    fast = ml.get_motion_state(lib, ids, times)
+    monkeypatch.setenv("ASE_TPU_UNPACKED_MOTION", "1")
+    slow = ml.get_motion_state(lib, ids, times)
+    for k in slow:
+        np.testing.assert_array_equal(
+            np.asarray(fast[k]), np.asarray(slow[k]), err_msg=k)
+
+
 def test_interpolation_midpoint(lib):
     """Halfway between frames, positions are the arithmetic midpoint."""
     dt = float(lib.dt[0])
