@@ -288,10 +288,10 @@ class Humanoid:
             # scatter default): never reset them and drop their write-back,
             # or a genuinely-resetting env 0 would race its own duplicates
             valid = jnp.arange(chunk) < jnp.minimum(jnp.sum(flag), chunk)
-            sub = self._gather_env_state(state, idx)
+            sub, pack = self._gather_env_state(state, idx, return_pack=True)
             sub = self._reset_envs(sub, (sub.reset_buf > 0) & valid)
             return self._scatter_env_state(
-                state, sub, jnp.where(valid, idx, self.num_envs))
+                state, sub, jnp.where(valid, idx, self.num_envs), pack=pack)
         mask = state.reset_buf > 0
         return self._reset_envs(state, mask)
 
@@ -315,7 +315,8 @@ class Humanoid:
                 o_idx.append(i)
         return f_idx, o_idx
 
-    def _gather_env_state(self, state: EnvState, idx: jnp.ndarray) -> EnvState:
+    def _gather_env_state(self, state: EnvState, idx: jnp.ndarray,
+                          return_pack: bool = False):
         rng = state.rng
         B = self.num_envs
         state0 = state.replace(rng=jnp.zeros(()))
@@ -326,7 +327,8 @@ class Humanoid:
                     return x[idx]
                 return x
 
-            return jax.tree_util.tree_map(g, state0).replace(rng=rng)
+            sub = jax.tree_util.tree_map(g, state0).replace(rng=rng)
+            return (sub, None) if return_pack else sub
 
         leaves, treedef = jax.tree_util.tree_flatten(state0)
         f_idx, o_idx = self._leaf_split(leaves)
@@ -340,9 +342,13 @@ class Humanoid:
             off += n
         for i in o_idx:
             out[i] = leaves[i][idx]
-        return jax.tree_util.tree_unflatten(treedef, out).replace(rng=rng)
+        sub = jax.tree_util.tree_unflatten(treedef, out).replace(rng=rng)
+        # hand the packed full-size matrix to the paired scatter so the
+        # (B, D) concat of every float leaf is built once per reset, not twice
+        return (sub, X) if return_pack else sub
 
-    def _scatter_env_state(self, state: EnvState, sub: EnvState, idx: jnp.ndarray) -> EnvState:
+    def _scatter_env_state(self, state: EnvState, sub: EnvState, idx: jnp.ndarray,
+                           pack: jnp.ndarray = None) -> EnvState:
         rng = sub.rng
         B = self.num_envs
         state0 = state.replace(rng=jnp.zeros(()))
@@ -360,7 +366,8 @@ class Humanoid:
         sub_leaves = jax.tree_util.tree_flatten(sub0)[0]
         f_idx, o_idx = self._leaf_split(leaves)
         C = idx.shape[0]
-        X = jnp.concatenate([leaves[i].reshape(B, -1) for i in f_idx], axis=1)
+        X = pack if pack is not None else jnp.concatenate(
+            [leaves[i].reshape(B, -1) for i in f_idx], axis=1)
         sub_X = jnp.concatenate([sub_leaves[i].reshape(C, -1) for i in f_idx], axis=1)
         X_new = X.at[idx].set(sub_X)  # out-of-range (dropped) slots skipped
         out = list(leaves)

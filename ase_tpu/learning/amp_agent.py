@@ -225,18 +225,26 @@ class AMPAgent(CommonAgent):
 
     def _preproc_minibatch(self, ts, mb):
         ts, mb = super()._preproc_minibatch(ts, mb)
-        a = mb["amp_obs"][: self._amp_minibatch_size]
-        r = mb["amp_obs_replay"][: self._amp_minibatch_size]
-        d = mb["amp_obs_demo"][: self._amp_minibatch_size]
+        n = self._amp_minibatch_size
+        # one (3n, 1400) RMS update + normalize over [agent | replay | demo]
+        # instead of three per-source chains: the Chan moment merge is
+        # associative, so updating with the concat equals the sequential
+        # updates (exact math; fp-order differs), and all three sources were
+        # already normalized with the post-update stats. Slices alias the
+        # concat, and the disc forward consumes rows [:2n] directly.
+        cat = jnp.concatenate([
+            mb["amp_obs"][:n], mb["amp_obs_replay"][:n], mb["amp_obs_demo"][:n],
+        ], axis=0)
         if self._normalize_amp_input:
-            rms = ts.extra["amp_rms"].update(a).update(r).update(d)
+            rms = ts.extra["amp_rms"].update(cat)
             extra = dict(ts.extra)
             extra["amp_rms"] = rms
             ts = ts.replace(extra=extra)
-            a, r, d = rms.normalize(a), rms.normalize(r), rms.normalize(d)
-        mb["amp_obs_n"] = a
-        mb["amp_obs_replay_n"] = r
-        mb["amp_obs_demo_n"] = d
+            cat = rms.normalize(cat)
+        mb["amp_obs_ar_n"] = cat[: 2 * n]
+        mb["amp_obs_n"] = cat[:n]
+        mb["amp_obs_replay_n"] = cat[n : 2 * n]
+        mb["amp_obs_demo_n"] = cat[2 * n :]
         return ts, mb
 
     # -- disc loss ----------------------------------------------------------------
@@ -296,10 +304,8 @@ class AMPAgent(CommonAgent):
         # one disc forward on the concatenated agent+replay rows instead of
         # two half-batch chains: the loss/acc only ever see the concatenated
         # logits, so this is bit-identical semantics with half the kernels
-        agent_cat = self._eval_disc(
-            params,
-            jnp.concatenate([mb["amp_obs_n"], mb["amp_obs_replay_n"]], axis=0),
-        )
+        # (rows [:2n] of the preproc concat — no re-concatenation)
+        agent_cat = self._eval_disc(params, mb["amp_obs_ar_n"])
 
         def demo_fn(x):
             return self._eval_disc(params, x)

