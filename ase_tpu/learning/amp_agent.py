@@ -11,6 +11,7 @@ mixture with the exponential env-index profile (424-435).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any, Dict, Tuple
 
@@ -41,6 +42,11 @@ class AMPAgent(CommonAgent):
         self._amp_obs_demo_buffer_size = int(config["amp_obs_demo_buffer_size"])
         self._amp_replay_buffer_size = int(config["amp_replay_buffer_size"])
         self._amp_replay_keep_prob = float(config["amp_replay_keep_prob"])
+        # A/B escape (docs/FLAGS.md): =1 materializes the (n, 1400)
+        # demo/replay sample tensors up-front and uses the full-batch masked
+        # replay store, the pre-round-4 layout
+        self._materialized_amp = os.environ.get(
+            "ASE_TPU_MATERIALIZED_AMP", "0") == "1"
 
         self.amp_obs_dim = env.amp_obs_size()
         if self._amp_minibatch_size > int(config["minibatch_size"]):
@@ -190,13 +196,25 @@ class AMPAgent(CommonAgent):
         extra["demo_buffer"] = extra["demo_buffer"].store(demo_new)
 
         n = amp_obs.shape[0]
-        demo_buf, demo_sample = extra["demo_buffer"].sample_cursor(k2, n)
+        demo_buf, demo_idx = extra["demo_buffer"].sample_cursor_idx(k2, n)
         extra["demo_buffer"] = demo_buf
-        dataset["amp_obs_demo"] = demo_sample
-        replay, replay_sample = extra["replay_buffer"].sample_cursor(k3, n)
+        replay, replay_idx = extra["replay_buffer"].sample_cursor_idx(k3, n)
         extra["replay_buffer"] = replay
-        use_replay = replay.total_count > 0
-        dataset["amp_obs_replay"] = jnp.where(use_replay, replay_sample, amp_obs)
+        if self._materialized_amp:
+            # A/B escape: materialize the (n, 1400) demo/replay sample
+            # tensors up-front (the pre-round-4 layout; same rows)
+            dataset["amp_obs_demo"] = demo_buf.data[demo_idx]
+            dataset["amp_obs_replay"] = jnp.where(
+                replay.total_count > 0, replay.data[replay_idx], amp_obs)
+        else:
+            # store the cursor draws as indices; each minibatch gathers its
+            # amp_minibatch rows straight from the buffers in
+            # _preproc_minibatch. Same rows in the same order — but the two
+            # (n, 1400) sample tensors (1.5 GB at bench shapes) are never
+            # built, and the full-buffer row gather that forced XLA to
+            # relayout the 1.1 GB buffers column-major each epoch is gone.
+            dataset["amp_obs_demo_idx"] = demo_idx
+            dataset["amp_obs_replay_idx"] = replay_idx
         ts = ts.replace(extra=extra)
         return ts, dataset
 
@@ -207,9 +225,26 @@ class AMPAgent(CommonAgent):
         rng, k = jax.random.split(ts.rng)
         buf = ts.extra["replay_buffer"]
         keep = jax.random.uniform(k, (amp_obs.shape[0],)) < self._amp_replay_keep_prob
-        keep = jnp.where(buf.total_count > buf.capacity, keep, jnp.ones_like(keep))
         extra = dict(ts.extra)
-        extra["replay_buffer"] = buf.store(amp_obs, mask=keep)
+        if self._materialized_amp:
+            # A/B escape: the pre-round-4 full-batch masked store
+            keep = jnp.where(buf.total_count > buf.capacity, keep, jnp.ones_like(keep))
+            extra["replay_buffer"] = buf.store(amp_obs, mask=keep)
+        else:
+            # reference semantics (amp_agent.py:579-590): store everything
+            # until the buffer has been filled once, then keep-prob subsample.
+            # The fill branch runs for the first couple of epochs only; the
+            # steady-state branch moves k_max rows instead of the whole
+            # (n, 1400) rollout (~2 GB of HBM traffic to store ~n/100 rows).
+            k_max = max(256, min(
+                amp_obs.shape[0],
+                4 * int(self._amp_replay_keep_prob * amp_obs.shape[0] + 1)))
+            extra["replay_buffer"] = jax.lax.cond(
+                buf.total_count > buf.capacity,
+                lambda b: b.store_compact(amp_obs, keep, k_max),
+                lambda b: b.store(amp_obs),
+                buf,
+            )
         return ts.replace(rng=rng, extra=extra)
 
     # -- minibatch preprocessing (amp rms updates, reference train-mode calls) ---
@@ -220,7 +255,11 @@ class AMPAgent(CommonAgent):
         # update-phase cost (row gathers are slow on TPU)
         rows = super()._minibatch_rows()
         n = self._amp_minibatch_size
-        rows.update(amp_obs=n, amp_obs_replay=n, amp_obs_demo=n)
+        rows.update(amp_obs=n)
+        if self._materialized_amp:
+            rows.update(amp_obs_replay=n, amp_obs_demo=n)
+        else:
+            rows.update(amp_obs_replay_idx=n, amp_obs_demo_idx=n)
         return rows
 
     def _preproc_minibatch(self, ts, mb):
@@ -232,9 +271,19 @@ class AMPAgent(CommonAgent):
         # updates (exact math; fp-order differs), and all three sources were
         # already normalized with the post-update stats. Slices alias the
         # concat, and the disc forward consumes rows [:2n] directly.
-        cat = jnp.concatenate([
-            mb["amp_obs"][:n], mb["amp_obs_replay"][:n], mb["amp_obs_demo"][:n],
-        ], axis=0)
+        a = mb["amp_obs"][:n]
+        if self._materialized_amp:
+            r, d = mb["amp_obs_replay"][:n], mb["amp_obs_demo"][:n]
+        else:
+            # gather this minibatch's demo/replay rows straight from the
+            # device buffers via the cursor indices drawn in
+            # _prepare_extra_dataset — same rows as materializing the full
+            # sample tensors, without ever building them
+            d = ts.extra["demo_buffer"].data[mb["amp_obs_demo_idx"][:n]]
+            rbuf = ts.extra["replay_buffer"]
+            r = jnp.where(rbuf.total_count > 0,
+                          rbuf.data[mb["amp_obs_replay_idx"][:n]], a)
+        cat = jnp.concatenate([a, r, d], axis=0)
         if self._normalize_amp_input:
             rms = ts.extra["amp_rms"].update(cat)
             extra = dict(ts.extra)

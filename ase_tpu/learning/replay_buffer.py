@@ -37,6 +37,22 @@ class ReplayBuffer:
     def capacity(self) -> int:
         return self.data.shape[0]
 
+    def _ring_write(self, rows: jnp.ndarray, n_valid) -> "ReplayBuffer":
+        """Write the first `n_valid` of `rows` at the ring head (rows past
+        n_valid re-write their slot's old contents, so the head not advancing
+        past them re-claims the space)."""
+        n = rows.shape[0]
+        idx = (self.head + jnp.arange(n)) % self.capacity
+        write_mask = jnp.arange(n) < n_valid
+        data = self.data.at[idx].set(
+            jnp.where(write_mask[:, None], rows, self.data[idx])
+        )
+        return self.replace(
+            data=data,
+            head=(self.head + n_valid) % self.capacity,
+            total_count=self.total_count + n_valid,
+        )
+
     def store(self, batch: jnp.ndarray, mask=None) -> "ReplayBuffer":
         """Write `batch` rows at the ring head; `mask` selects valid rows
         (invalid rows are skipped by compacting valid rows to the front)."""
@@ -49,16 +65,31 @@ class ReplayBuffer:
             n_valid = jnp.sum(mask).astype(jnp.int32)
         else:
             n_valid = jnp.asarray(n, jnp.int32)
-        idx = (self.head + jnp.arange(n)) % self.capacity
-        write_mask = jnp.arange(n) < n_valid
-        data = self.data.at[idx].set(
-            jnp.where(write_mask[:, None], batch, self.data[idx])
+        return self._ring_write(batch, n_valid)
+
+    def store_compact(self, batch: jnp.ndarray, mask: jnp.ndarray,
+                      k_max: int) -> "ReplayBuffer":
+        """``store(batch, mask)`` that only MOVES ``k_max`` rows.
+
+        Bit-identical to ``store(batch, mask=mask)`` whenever
+        ``sum(mask) <= k_max`` (same stable first-valid-rows order, same head
+        advance); rows past the k_max-th valid one are dropped. The masked
+        ``store`` path gathers/scatters all ``len(batch)`` rows — at AMP's
+        1%-keep replay write that is ~2 GB of HBM traffic to store ~1.3k
+        rows. Here: one int32 rank scatter + a k_max-row gather + a
+        k_max-row ring write."""
+        n = batch.shape[0]
+        mask = mask.astype(bool)
+        rank = jnp.cumsum(mask) - 1  # stable compaction rank of each valid row
+        slot = jnp.where(mask & (rank < k_max), rank, k_max)  # k_max = spill
+        row_idx = (
+            jnp.zeros((k_max + 1,), jnp.int32)
+            .at[slot].set(jnp.arange(n, dtype=jnp.int32))[:k_max]
         )
-        return self.replace(
-            data=data,
-            head=(self.head + n_valid) % self.capacity,
-            total_count=self.total_count + n_valid,
-        )
+        n_valid = jnp.minimum(jnp.sum(mask), k_max).astype(jnp.int32)
+        # unfilled slots hold row 0 — masked off by the ring write's
+        # arange < n_valid guard, so the stale gather is harmless
+        return self._ring_write(batch[row_idx], n_valid)
 
     def sample(self, rng: jax.Array, n: int) -> jnp.ndarray:
         limit = jnp.clip(self.total_count, 1, self.capacity)
@@ -67,7 +98,16 @@ class ReplayBuffer:
 
     def sample_cursor(self, rng: jax.Array, n: int):
         """No-replacement sampling via a persistent shuffled cursor
-        (reference replay_buffer.py:51-75). Returns (new_buffer, rows).
+        (reference replay_buffer.py:51-75). Returns (new_buffer, rows)."""
+        buf, idx = self.sample_cursor_idx(rng, n)
+        return buf, self.data[idx]
+
+    def sample_cursor_idx(self, rng: jax.Array, n: int):
+        """``sample_cursor`` without the row gather: returns
+        (new_buffer, idx) so callers that only consume a few rows at a time
+        (the AMP minibatch loop) can gather them lazily instead of
+        materializing an (n, dim) sample tensor.
+
         Draws walk the stored permutation; when a call would run past the
         end, the permutation is reshuffled for subsequent calls (within a
         single call larger than the buffer, wraps reuse the old order).
@@ -93,4 +133,4 @@ class ReplayBuffer:
             self.perm,
         )
         new_cursor = jnp.where(exhausted, 0, self.cursor + n).astype(jnp.int32)
-        return self.replace(perm=new_perm, cursor=new_cursor), self.data[idx]
+        return self.replace(perm=new_perm, cursor=new_cursor), idx

@@ -98,6 +98,52 @@ def test_replay_buffer_cursor_no_replacement():
     )
 
 
+def test_replay_buffer_store_compact_parity():
+    """store_compact must be bit-identical to the masked store whenever
+    sum(mask) <= k_max (same stable compaction order, same head advance)."""
+    rng = np.random.RandomState(0)
+    for trial in range(5):
+        cap, n, k_max = 64, 40, 8
+        a = ReplayBuffer.create(cap, 3)
+        b = ReplayBuffer.create(cap, 3)
+        # pre-wind the ring to a nonzero head
+        warm = jnp.asarray(rng.randn(10, 3), jnp.float32)
+        a, b = a.store(warm), b.store(warm)
+        batch = jnp.asarray(rng.randn(n, 3), jnp.float32)
+        mask = jnp.asarray(rng.rand(n) < 0.15)
+        if int(jnp.sum(mask)) > k_max:
+            mask = jnp.asarray(np.asarray(mask) & (np.cumsum(mask) <= k_max))
+        a = a.store(batch, mask=mask)
+        b = b.store_compact(batch, mask, k_max)
+        np.testing.assert_array_equal(np.asarray(a.data), np.asarray(b.data))
+        assert int(a.head) == int(b.head)
+        assert int(a.total_count) == int(b.total_count)
+
+
+def test_replay_buffer_store_compact_clamps():
+    """With more valid rows than k_max, the first k_max (stable order) land."""
+    cap, n, k_max = 32, 16, 4
+    buf = ReplayBuffer.create(cap, 1)
+    batch = jnp.arange(n, dtype=jnp.float32)[:, None]
+    mask = jnp.ones(n, bool)
+    buf = buf.store_compact(batch, mask, k_max)
+    assert int(buf.total_count) == k_max
+    np.testing.assert_array_equal(
+        np.asarray(buf.data[:k_max, 0]), np.arange(k_max, dtype=np.float32))
+
+
+def test_replay_buffer_cursor_idx_matches_rows():
+    """sample_cursor == gather(sample_cursor_idx) with the same key."""
+    cap = 16
+    buf = ReplayBuffer.create(cap, 1)
+    buf = buf.store(jnp.arange(cap, dtype=jnp.float32)[:, None])
+    b1, rows = buf.sample_cursor(jax.random.PRNGKey(3), 8)
+    b2, idx = buf.sample_cursor_idx(jax.random.PRNGKey(3), 8)
+    np.testing.assert_array_equal(np.asarray(rows), np.asarray(buf.data[idx]))
+    assert int(b1.cursor) == int(b2.cursor)
+    np.testing.assert_array_equal(np.asarray(b1.perm), np.asarray(b2.perm))
+
+
 def test_amp_agent_trains():
     env = parse_task("HumanoidAMP", make_cfg())
     cfg = copy.deepcopy(TRAIN_CFG)
@@ -112,6 +158,26 @@ def test_amp_agent_trains():
         assert np.isfinite(m[k]), (k, m[k])
     leaves = jax.tree_util.tree_leaves(jax.device_get(ts.params))
     assert all(np.all(np.isfinite(l)) for l in leaves)
+
+
+def test_amp_index_sampling_parity(monkeypatch):
+    """The round-4 index-based demo/replay path (cursor indices in the
+    dataset, per-minibatch buffer gathers, cond'd compact replay store) must
+    reproduce the materialized path's training metrics exactly: same rows in
+    the same order, gather commutes with the row selection."""
+    metrics = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("ASE_TPU_MATERIALIZED_AMP", flag)
+        env = parse_task("HumanoidAMP", make_cfg())
+        agent = AMPAgent(env, copy.deepcopy(TRAIN_CFG))
+        ts = agent.init_train_state(jax.random.PRNGKey(0))
+        env_state = env.initial_state(jax.random.PRNGKey(1))
+        for _ in range(2):
+            ts, env_state, m = agent.train_epoch(ts, env_state)
+        metrics[flag] = {k: np.asarray(v) for k, v in jax.device_get(m).items()}
+    for k in metrics["1"]:
+        np.testing.assert_allclose(
+            metrics["0"][k], metrics["1"][k], rtol=1e-6, err_msg=k)
 
 
 def test_ase_agent_trains():
