@@ -78,6 +78,11 @@ class DomainRandomizer:
         self.act_spec = NoiseSpec(cfg["actions"]) if "actions" in cfg else None
 
         actor = cfg.get("actor_params", {}).get("humanoid", {})
+        # whole-actor geometric scale (reference base_task.py:346-355
+        # `prop_name == 'scale'` → gym.set_actor_scale): one (B,) scalar per
+        # env scaling link offsets/geom sizes (mass ∝ s³, inertia ∝ s⁵ in
+        # the engine)
+        self.scale_spec = NoiseSpec(actor["scale"]) if "scale" in actor else None
         rb = actor.get("rigid_body_properties", {})
         self.mass_spec = NoiseSpec(rb["mass"]) if "mass" in rb else None
         rs = actor.get("rigid_shape_properties", {})
@@ -123,6 +128,7 @@ class DomainRandomizer:
         return {
             "friction_scale": ones(num_shapes),
             "mass_scale": ones(num_bodies),
+            "actor_scale": jnp.ones(B),             # whole-actor by definition
             "stiffness_scale": ones(num_dofs),
             "damping_scale": ones(num_dofs),
             "gravity_scale": jnp.ones(B),           # sim-global by nature
@@ -151,7 +157,7 @@ class DomainRandomizer:
         # setup-only properties are randomized exactly once, at the env's
         # first reset, regardless of the rerandomization frequency
         due_setup = mask & (scales["dr_count"] == 0)
-        keys = jax.random.split(rng, 6)
+        keys = jax.random.split(rng, 7)
 
         def _upd(spec, key, cur, base=None):
             # sampling at the CURRENT knob shape gives per-element draws for
@@ -183,6 +189,9 @@ class DomainRandomizer:
             out["restitution"] = jnp.clip(_upd(
                 self.restitution_spec, keys[5], scales["restitution"], base),
                 0.0, 1.0)
+        if self.scale_spec:
+            out["actor_scale"] = jnp.clip(_upd(
+                self.scale_spec, keys[6], scales["actor_scale"]), 0.1, 10.0)
         if self.generator is not None:
             # correlated external samples override the independent draws;
             # per-env (B,) generator outputs broadcast over element dims

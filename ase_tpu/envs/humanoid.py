@@ -250,10 +250,18 @@ class Humanoid:
                 num_dofs=self.model.nd)
         return aux
 
+    def _actor_scale(self, state: EnvState):
+        """Per-env geometric scale from the DR state, or None when the scale
+        knob is off (keeps the default path's FK free of extra multiplies)."""
+        if self._dr.enabled and self._dr.scale_spec:
+            return state.aux["dr"]["actor_scale"]
+        return None
+
     # -- kinematic refresh (the analog of refresh_*_tensor views) ------------
 
     def _refresh_kinematics(self, state: EnvState) -> EnvState:
-        kin = dynamics2.fk_batched(self.model, state.phys)
+        kin = dynamics2.fk_batched(
+            self.model, state.phys, actor_scale=self._actor_scale(state))
         return state.replace(
             body_pos=kin.body_pos,
             body_quat=kin.body_quat,
@@ -436,16 +444,17 @@ class Humanoid:
             ms, grav = dr["mass_scale"], dr["gravity_scale"]
             ds = dr["damping_scale"] if self._dr.damping_spec else None
             rest = dr["restitution"] if self._dr.restitution_spec else None
+            ascale = dr["actor_scale"] if self._dr.scale_spec else None
         else:
             fs = jnp.ones(self.num_envs)
             gs = jnp.ones(self.num_envs)
-            ms = grav = ds = rest = None
+            ms = grav = ds = rest = ascale = None
         kin0 = None
         for _ in range(self.control_freq_inv):
             out = engine.step_batched(
                 self.model, self.sim_cfg, self._tables, phys, tgt, fs, gs,
                 mass_scale=ms, gravity_scale=grav, damping_scale=ds,
-                restitution=rest, kin0=kin0,
+                restitution=rest, actor_scale=ascale, kin0=kin0,
             )
             phys = out.state
             kin0 = out.kin  # reuse this tick's final FK as the next tick's

@@ -218,10 +218,21 @@ class AMPAgent(CommonAgent):
         ts = ts.replace(extra=extra)
         return ts, dataset
 
-    def _post_epoch(self, ts, batch):
-        ts = super()._post_epoch(ts, batch)
-        # store rollout amp obs into the replay buffer with keep-prob masking
-        amp_obs = batch["amp_obs"].reshape(-1, self.amp_obs_dim)
+    def _replay_store_k_max(self, n: int) -> int:
+        """Row budget for the compact replay store: 4x the expected
+        Binomial(n, keep_prob) keeps, floored at 256, capped at n."""
+        return max(256, min(n, 4 * int(self._amp_replay_keep_prob * n + 1)))
+
+    def _post_update(self, ts, dataset):
+        ts = super()._post_update(ts, dataset)
+        # store rollout amp obs into the replay buffer with keep-prob masking.
+        # This runs AFTER the minibatch update loop (reference
+        # amp_agent.py:257 calls _store_replay_amp_obs at the end of
+        # train_epoch): the per-minibatch replay gathers must read the
+        # pre-store buffer — storing in _post_epoch (pre-update) made the
+        # lazy index path sample this epoch's rollout rows while the
+        # materialized path sampled the old buffer.
+        amp_obs = dataset["amp_obs"]
         rng, k = jax.random.split(ts.rng)
         buf = ts.extra["replay_buffer"]
         keep = jax.random.uniform(k, (amp_obs.shape[0],)) < self._amp_replay_keep_prob
@@ -236,9 +247,12 @@ class AMPAgent(CommonAgent):
             # The fill branch runs for the first couple of epochs only; the
             # steady-state branch moves k_max rows instead of the whole
             # (n, 1400) rollout (~2 GB of HBM traffic to store ~n/100 rows).
-            k_max = max(256, min(
-                amp_obs.shape[0],
-                4 * int(self._amp_replay_keep_prob * amp_obs.shape[0] + 1)))
+            # store_compact silently drops valid rows past k_max, so k_max
+            # must dominate the Binomial(n, p) keep count: 4x the mean (and
+            # ≥256) puts the drop probability below the binomial tail at
+            # ~exp(-n·p) for any n·p ≥ ~8 — test_learning.py
+            # ::test_amp_replay_kmax_covers_binomial_tail guards the margin.
+            k_max = self._replay_store_k_max(amp_obs.shape[0])
             extra["replay_buffer"] = jax.lax.cond(
                 buf.total_count > buf.capacity,
                 lambda b: b.store_compact(amp_obs, keep, k_max),

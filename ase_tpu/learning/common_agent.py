@@ -521,19 +521,28 @@ class CommonAgent:
         # fewer rows, and packing them would copy ~2 GB of HBM.
         pack_keys = [
             k for k, v in dataset.items()
-            if k not in mb_rows and v.dtype == jnp.float32
+            if k not in mb_rows and jnp.issubdtype(v.dtype, jnp.floating)
         ]
-        cols, off = {}, 0
+        # one packed matrix per dtype: mixing dtypes in a single concatenate
+        # would silently upcast (and bf16 fields falling back to per-field
+        # gathers would be an invisible perf regression)
+        by_dtype: Dict[Any, list] = {}
         for k in pack_keys:
-            v = dataset[k]
-            d = 1
-            for s in v.shape[1:]:
-                d *= s
-            cols[k] = (off, off + d, v.shape[1:])
-            off += d
-        packed = jnp.concatenate(
-            [dataset[k].reshape(dataset[k].shape[0], -1) for k in pack_keys],
-            axis=1)
+            by_dtype.setdefault(dataset[k].dtype, []).append(k)
+        cols = {}   # key -> (dtype, start, stop, trailing shape)
+        packs = {}  # dtype -> (N, D) matrix
+        for dt, keys in by_dtype.items():
+            off = 0
+            for k in keys:
+                v = dataset[k]
+                d = 1
+                for s in v.shape[1:]:
+                    d *= s
+                cols[k] = (dt, off, off + d, v.shape[1:])
+                off += d
+            packs[dt] = jnp.concatenate(
+                [dataset[k].reshape(dataset[k].shape[0], -1) for k in keys],
+                axis=1)
         rest = {k: v for k, v in dataset.items() if k not in cols}
 
         def minibatch_update(carry, idx):
@@ -544,10 +553,10 @@ class CommonAgent:
             # latent sampling (ase_agent._diversity_loss).
             rng, _ = jax.random.split(ts.rng)
             ts = ts.replace(rng=rng)
-            sub = packed[idx]
+            subs = {dt: p[idx] for dt, p in packs.items()}
             mb = {
-                k: sub[:, a:b].reshape((idx.shape[0],) + shp)
-                for k, (a, b, shp) in cols.items()
+                k: subs[dt][:, a:b].reshape((idx.shape[0],) + shp)
+                for k, (dt, a, b, shp) in cols.items()
             }
             mb.update({
                 k: (x[idx] if k not in mb_rows else x[idx[: mb_rows[k]]])
@@ -578,6 +587,7 @@ class CommonAgent:
             return ts, metrics
 
         ts, metrics = jax.lax.scan(mini_epoch, ts, None, length=self.mini_epochs)
+        ts = self._post_update(ts, dataset)
         metrics = jax.tree_util.tree_map(jnp.mean, metrics)
         # windowed means: before the window fills, unwritten slots are zero,
         # so dividing by min(total, K) gives the exact mean of stored games
@@ -626,6 +636,13 @@ class CommonAgent:
         return ts, mb
 
     def _post_epoch(self, ts: TrainState, batch) -> TrainState:
+        return ts
+
+    def _post_update(self, ts: TrainState, dataset) -> TrainState:
+        """Hook after the minibatch update loop (AMP replay store lands here,
+        matching the reference's post-update ordering — the replay buffer the
+        minibatches sampled from must not contain this epoch's rollout,
+        reference amp_agent.py:257,579-593)."""
         return ts
 
     @property

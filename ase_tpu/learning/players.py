@@ -81,31 +81,44 @@ class CommonPlayer:
 
     _MARKER_KEYS = ("tar_dir", "tar_facing_dir", "tar_pos")
 
-    def _run_chunk(self, ts, env_state, roll, ret, lens, num_steps,
-                   capture_env: int = -1):
+    def _run_chunk(self, ts, env_state, roll, ret, lens, succ, num_steps,
+                   capture_env: int = -1, success_fn=None):
         """One jitted fixed-length rollout chunk. Returns the carried state
         plus per-step finished-game tallies (count, summed returns, summed
-        lengths) for the host-side game loop, and — when ``capture_env`` ≥ 0 —
-        that env's per-step body positions + task-marker values for video
-        rendering. The compiled chunk is cached per (length, capture) key —
-        chunks after the first replay the same executable."""
-        key = (num_steps, capture_env >= 0)
+        lengths, end-of-episode successes, summed success-time fractions) for
+        the host-side game loop, and — when ``capture_env`` ≥ 0 — that env's
+        per-step body positions + task-marker values for video rendering.
+        ``success_fn(env_state) -> (B,) in [0, 1]`` is an optional per-step
+        goal-attainment indicator (the reference observer consumes
+        infos['successes'] at done indices, run.py:66-97); the default reads
+        ``aux['successes']`` when a task publishes it (Strike). The compiled
+        chunk is cached per (length, capture, success) key."""
+        key = (num_steps, capture_env >= 0, success_fn is not None)
         loop = self._chunk_fns.get(key)
         if loop is None:
 
             @jax.jit
-            def loop(ts, env_state, roll, ret, lens):
+            def loop(ts, env_state, roll, ret, lens, succ):
                 def body(carry, _):
-                    ts, env_state, roll, ret, lens = carry
+                    ts, env_state, roll, ret, lens, succ = carry
                     ts, env_state, roll, rewards = self._policy_step(
                         ts, env_state, roll)
                     ret = ret + rewards
                     lens = lens + 1
+                    if success_fn is not None:
+                        s = success_fn(env_state).astype(jnp.float32)
+                    else:
+                        aux = getattr(env_state, "aux", {}) or {}
+                        s = aux.get("successes", jnp.zeros_like(ret))
+                    succ = succ + s
                     done = env_state.reset_buf > 0
                     step_out = (
                         jnp.sum(done),
                         jnp.sum(jnp.where(done, ret, 0.0)),
                         jnp.sum(jnp.where(done, lens, 0)),
+                        jnp.sum(jnp.where(done, s, 0.0)),
+                        jnp.sum(jnp.where(
+                            done, succ / jnp.maximum(lens, 1), 0.0)),
                     )
                     if capture_env >= 0:
                         aux = getattr(env_state, "aux", {}) or {}
@@ -116,16 +129,18 @@ class CommonPlayer:
                         step_out = step_out + (frame,)
                     ret = jnp.where(done, 0.0, ret)
                     lens = jnp.where(done, 0, lens)
-                    return (ts, env_state, roll, ret, lens), step_out
+                    succ = jnp.where(done, 0.0, succ)
+                    return (ts, env_state, roll, ret, lens, succ), step_out
 
                 carry, ys = jax.lax.scan(
-                    body, (ts, env_state, roll, ret, lens), None, length=num_steps
+                    body, (ts, env_state, roll, ret, lens, succ), None,
+                    length=num_steps
                 )
                 return carry, ys
 
             self._chunk_fns[key] = loop
 
-        return loop(ts, env_state, roll, ret, lens)
+        return loop(ts, env_state, roll, ret, lens, succ)
 
     # -- probe hook (reference _post_step/_amp_debug) -------------------------
 
@@ -137,7 +152,7 @@ class CommonPlayer:
     def run(self, num_steps: int = 300, games_num: Optional[int] = None,
             ts=None, env_state=None, max_chunks: int = 100,
             video_path: Optional[str] = None, video_env: int = 0,
-            video_max_frames: int = 900):
+            video_max_frames: int = 900, success_fn=None):
         """Reference ``CommonPlayer.run``: play until ``games_num`` episodes
         finish (in chunks of ``num_steps`` on-device steps), printing
         per-game-batch stats, then the aggregate.
@@ -155,28 +170,34 @@ class CommonPlayer:
         B = self.env.num_envs
         ret = jnp.zeros(B)
         lens = jnp.zeros(B, jnp.int32)
+        succ = jnp.zeros(B)
         games_played = 0
         sum_rewards = 0.0
         sum_steps = 0.0
+        sum_succ_end = 0.0
+        sum_succ_frac = 0.0
         probes: Dict[str, float] = {}
         capture_env = video_env if video_path else -1
         captured: list = []
 
         for _ in range(max_chunks):
-            (ts, env_state, roll, ret, lens), ys = self._run_chunk(
-                ts, env_state, roll, ret, lens, num_steps,
-                capture_env=capture_env,
+            (ts, env_state, roll, ret, lens, succ), ys = self._run_chunk(
+                ts, env_state, roll, ret, lens, succ, num_steps,
+                capture_env=capture_env, success_fn=success_fn,
             )
             if capture_env >= 0:
                 *ys, frames = ys
                 if len(captured) * num_steps < video_max_frames:
                     captured.append(jax.device_get(frames))
-            counts, rsums, lsums = (np.asarray(y) for y in jax.device_get(ys))
-            for c, r, l in zip(counts, rsums, lsums):
+            counts, rsums, lsums, ssums, sfracs = (
+                np.asarray(y) for y in jax.device_get(ys))
+            for c, r, l, se, sf in zip(counts, rsums, lsums, ssums, sfracs):
                 if c > 0:
                     games_played += int(c)
                     sum_rewards += float(r)
                     sum_steps += float(l)
+                    sum_succ_end += float(se)
+                    sum_succ_frac += float(sf)
                     if self.print_stats:
                         print(f"reward: {float(r) / int(c):.4f} "
                               f"steps: {float(l) / int(c):.1f}")
@@ -210,6 +231,10 @@ class CommonPlayer:
             "mean_length": sum_steps / n,
             "episodes": games_played,
             "running_return_mean": float(jnp.mean(ret)),
+            # goal-attainment meters (reference successes observer):
+            # end-of-episode indicator rate and mean in-episode time fraction
+            "success_rate": sum_succ_end / n,
+            "success_time_frac": sum_succ_frac / n,
             **probes,
         }
         print(f"av reward: {stats['mean_return']:.4f} "

@@ -227,6 +227,11 @@ def _build_packed(gts, grs, lrs, gvs, gavs, dvs, key_body_ids,
                   lengths, num_frames, dts, starts):
     """Host-side packed frame matrix + clip metadata (see MotionLib.packed)."""
     F = gts.shape[0]
+    # num_frames / length_starts round-trip through the float32 meta table:
+    # exact only while every frame index fits a float32 mantissa
+    assert F < 2 ** 24, (
+        f"{F} total motion frames exceed float32-exact integer range (2^24); "
+        "the packed meta table would silently corrupt frame indices")
     key = np.asarray(key_body_ids, dtype=np.int64)
     packed = np.concatenate([
         np.asarray(gts[:, 0], np.float32),

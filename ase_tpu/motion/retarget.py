@@ -191,15 +191,16 @@ def project_joints(
 
 def fix_ground_height(
     tree: SkeletonTree, local_rot: np.ndarray, root_trans: np.ndarray,
-    foot_names: Sequence[str] = ("right_foot", "left_foot"), clearance: float = 0.02,
 ) -> np.ndarray:
-    """Shift the root so the lowest foot touches the ground
-    (reference retarget_motion.py:231-243)."""
+    """Shift the root so the lowest BODY position over the whole clip touches
+    z=0 (reference retarget_motion.py:231-236: ``min_h = min(global_pos[...,
+    2])`` over all frames and all joints, no clearance). Ground-penetration
+    headroom comes from the config's ``root_height_offset``, added by the
+    driver after grounding (ref :238-240)."""
     _, gts = np_fk(tree, local_rot, root_trans)
-    ids = [tree.index(n) for n in foot_names if n in tree.node_names]
-    min_h = gts[:, ids, 2].min() if ids else gts[..., 2].min()
+    min_h = gts[..., 2].min()
     out = root_trans.copy()
-    out[:, 2] -= min_h - clearance
+    out[:, 2] -= min_h
     return out
 
 

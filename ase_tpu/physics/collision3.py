@@ -316,10 +316,23 @@ def detect_batched(
                              # multipliers (reference per-shape
                              # rigid_shape_properties.friction randomization,
                              # base_task.py:332-386)
+    actor_scale=None,        # optional (B,) whole-actor geometric scale
+                             # (reference gym.set_actor_scale DR,
+                             # base_task.py:346-355): humanoid geom sizes and
+                             # in-body offsets scale; props/plane do not
 ) -> Contacts:
     T = tables
     B = body_pos.shape[0]
     gb = np.asarray(model.geom_body, np.int32)
+    nb = model.nb
+    if actor_scale is None:
+        def sg(idx):
+            return 1.0
+    else:
+        def sg(idx):
+            # per-candidate scale: humanoid geoms (body < nb) scale, others 1
+            return jnp.where(
+                jnp.asarray(gb[idx] < nb)[None, :], actor_scale[:, None], 1.0)
 
     if model.num_props > 0:
         all_q = jnp.concatenate([body_quat, prop_quat], axis=1)
@@ -336,11 +349,15 @@ def detect_batched(
     gloc = tuple(jnp.asarray(gq[:, i, j])[None, :] for i in range(3) for j in range(3))
     Rg = _mat_mat(Rb, gloc)                             # geom world rotation
     goff = np.asarray(model.geom_pos)
-    gp = _add(pb, _mat_vec(Rb, tuple(jnp.asarray(goff[:, k])[None, :] for k in range(3))))
+    goff_c = tuple(jnp.asarray(goff[:, k])[None, :] for k in range(3))
+    if actor_scale is not None:
+        s_all = sg(np.arange(len(gb)))
+        goff_c = tuple(c * s_all for c in goff_c)
+    gp = _add(pb, _mat_vec(Rb, goff_c))
 
     size = np.asarray(model.geom_size)
-    r_of = lambda idx: jnp.asarray(size[idx, 0])[None, :]
-    half_of = lambda idx: jnp.asarray(size[idx, 1])[None, :]
+    r_of = lambda idx: jnp.asarray(size[idx, 0])[None, :] * sg(idx)
+    half_of = lambda idx: jnp.asarray(size[idx, 1])[None, :] * sg(idx)
     mu_g = np.asarray(model.geom_friction)
     mu_of = lambda i, j: jnp.broadcast_to(
         jnp.asarray(np.sqrt(np.maximum(mu_g[i] * mu_g[j], 0.0)))[None, :], (B, len(i))
@@ -362,16 +379,17 @@ def detect_batched(
     # ---- geom vs ground plane ----
     if T.pl_geom.size:
         gi = T.pl_geom
+        spl = sg(gi)
         Rc = _gather(Rg, gi)
         base = _gather(gp, gi)
-        off = tuple(jnp.asarray(T.pl_off[:, k])[None, :] for k in range(3))
+        off = tuple(jnp.asarray(T.pl_off[:, k])[None, :] * spl for k in range(3))
         p = _add(base, _mat_vec(Rc, off))
         # cylinder rim: step radially along the projected -z; else drop by r
         axis = _col(Rc, 2)
         tdir = (axis[0] * axis[2], axis[1] * axis[2], axis[2] * axis[2] - 1.0)
         tn = jnp.maximum(_norm(tdir), 1e-6)
         cyl = jnp.asarray(T.pl_cyl)[None, :]
-        rad = jnp.asarray(T.pl_radius)[None, :]
+        rad = jnp.asarray(T.pl_radius)[None, :] * spl
         px = p[0] + cyl * tdir[0] / tn * rad
         py = p[1] + cyl * tdir[1] / tn * rad
         pz = p[2] + cyl * tdir[2] / tn * rad - (1.0 - cyl) * rad
@@ -452,11 +470,11 @@ def detect_batched(
         bx, ot = T.bo_box, T.bo_oth
         Rb_ = _gather(Rg, bx)
         pbox = _gather(gp, bx)
-        half = tuple(jnp.asarray(size[bx, k])[None, :] for k in range(3))
+        half = tuple(jnp.asarray(size[bx, k])[None, :] * sg(bx) for k in range(3))
         is_cap = np.asarray(
             [model.geom_types[int(o)] != M.GEOM_SPHERE for o in ot], np.float32
         )
-        amp = jnp.asarray(size[ot, 1] * is_cap * T.bo_t)[None, :]
+        amp = jnp.asarray(size[ot, 1] * is_cap * T.bo_t)[None, :] * sg(ot)
         axis = _col(_gather(Rg, ot), 2)
         sample = _add(_gather(gp, ot), _scale(axis, amp))
         c_local = _mat_t_vec(Rb_, _sub(sample, pbox))
@@ -472,10 +490,12 @@ def detect_batched(
         src, dst = T.bb_src, T.bb_dst
         Rs, Rd = _gather(Rg, src), _gather(Rg, dst)
         ps_, pd_ = _gather(gp, src), _gather(gp, dst)
-        corner = tuple(jnp.asarray(T.bb_corner[:, k] * size[src, k])[None, :] for k in range(3))
+        corner = tuple(
+            jnp.asarray(T.bb_corner[:, k] * size[src, k])[None, :] * sg(src)
+            for k in range(3))
         cw = _add(ps_, _mat_vec(Rs, corner))
         c_local = _mat_t_vec(Rd, _sub(cw, pd_))
-        half = tuple(jnp.asarray(size[dst, k])[None, :] for k in range(3))
+        half = tuple(jnp.asarray(size[dst, k])[None, :] * sg(dst) for k in range(3))
         dpt, n_l, surf_l = _point_box(c_local, half)
         n_w = _mat_vec(Rd, n_l)
         pos = _add(pd_, _mat_vec(Rd, surf_l))

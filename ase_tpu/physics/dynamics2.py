@@ -161,7 +161,7 @@ def _sym_mv(Ssym, v):
 
 def compute_dynamics_batch_last(model: M.Model, states, kin, dt: float,
                                 mass_scale=None, gravity_scale=None,
-                                damping_scale=None):
+                                damping_scale=None, actor_scale=None):
     """Batched dynamics assembly, batch-last layout.
 
     Returns (M_bl (nu, nu, B), bias (B, nu), Phi (B, nu, 6)) matching
@@ -187,6 +187,22 @@ def compute_dynamics_batch_last(model: M.Model, states, kin, dt: float,
     # keeps the cheaper post-assembly broadcast below
     per_body_mass = mass_scale is not None and mass_scale.ndim == 2
     ms_bl = mass_scale.T if per_body_mass else None     # (nb, B)
+    # geometric actor scale (reference gym.set_actor_scale): the kin passed
+    # in must come from the SAME scaled FK; mass properties scale like a
+    # constant-density resize — mass x s^3, rotational inertia x s^5 (COM
+    # offsets ride the scaled kin.com_world). Folded into the per-body mass
+    # path with a separate s^2 inertia surcharge.
+    isym_extra = None
+    if actor_scale is not None:
+        s_bl = actor_scale[None, :]                      # (1, B)
+        s3 = s_bl * s_bl * s_bl
+        if ms_bl is None:
+            ms_bl = s3 if mass_scale is None else mass_scale[None, :] * s3
+            ms_bl = jnp.broadcast_to(ms_bl, (nb, B))
+        else:
+            ms_bl = ms_bl * s3
+        per_body_mass = True
+        isym_extra = s_bl * s_bl                         # inertia: s^5 total
 
     # --- kinematics components, (nb, B) ---
     q = kin.body_quat                                  # (B, nb, 4)
@@ -235,7 +251,8 @@ def compute_dynamics_batch_last(model: M.Model, states, kin, dt: float,
     mass = jnp.asarray(st.mass)[:, None]
     if per_body_mass:
         mass = mass * ms_bl
-        Isym = tuple(c * ms_bl for c in Isym)
+        i_f = ms_bl if isym_extra is None else ms_bl * isym_extra
+        Isym = tuple(c * i_f for c in Isym)
     h = tuple(mass * c for c in c_off)
     c2 = _dot(c_off, c_off)
     # TL = I_w + m((c.c)δ - c c^T)
@@ -389,8 +406,13 @@ def _qrot_c(q, v):
             vz + w * tz + (x * ty - y * tx))
 
 
-def fk_batched(model: M.Model, states) -> "dynamics.Kin":
-    """Batched position+velocity FK, component-form (see module note)."""
+def fk_batched(model: M.Model, states, actor_scale=None) -> "dynamics.Kin":
+    """Batched position+velocity FK, component-form (see module note).
+
+    ``actor_scale`` is an optional per-env (B,) geometric scale (reference
+    ``gym.set_actor_scale``, base_task.py:346-355): every body-frame offset
+    and COM offset is multiplied by it, so all link lengths scale while the
+    joint state stays joint-space."""
     nb = model.nb
     s_ids, h_ids = dynamics.sph_ids(model), dynamics.hinge_ids(model)
     iq = np.asarray(model.body_iquat)          # (nb, 4) static
@@ -403,6 +425,13 @@ def fk_batched(model: M.Model, states) -> "dynamics.Kin":
     u = states.u
     B = u.shape[0]
     zero = jnp.zeros(B)
+    # static no-scale branch: keeps the default path free of extra multiplies
+    if actor_scale is None:
+        def S(c3):
+            return c3
+    else:
+        def S(c3):
+            return tuple(actor_scale * x for x in c3)
 
     quats, ps = [], []
     for b in range(nb):
@@ -426,10 +455,11 @@ def fk_batched(model: M.Model, states) -> "dynamics.Kin":
             if jt == M.FREE:
                 ps.append(rp)
             else:
-                ps.append(tuple(rp[k] + ip[b, k] for k in range(3)))
+                off = S(tuple(jnp.asarray(ip[b, k]) for k in range(3)))
+                ps.append(tuple(rp[k] + off[k] for k in range(3)))
         else:
             quats.append(_qmul_c(quats[p], lq))
-            step = _qrot_c(quats[p], tuple(ip[b]))
+            step = S(_qrot_c(quats[p], tuple(ip[b])))
             ps.append(tuple(ps[p][k] + step[k] for k in range(3)))
 
     # velocity FK: w/v of each body at its own origin, world axes
@@ -466,7 +496,7 @@ def fk_batched(model: M.Model, states) -> "dynamics.Kin":
     body_vel = jnp.stack(
         [jnp.stack(w + v, axis=-1) for (w, v) in vels], axis=1)    # (B, nb, 6)
     R = rot_ops.quat_to_rotation_matrix(body_quat)                  # (B, nb, 3, 3)
-    com_c = [_qrot_c(quats[b], tuple(com[b])) for b in range(nb)]
+    com_c = [S(_qrot_c(quats[b], tuple(com[b]))) for b in range(nb)]
     com_w = body_pos + jnp.stack(
         [jnp.stack(c, axis=-1) for c in com_c], axis=1)
     return dynamics.Kin(R, body_pos, body_quat, body_vel, com_w)

@@ -41,12 +41,13 @@ from ase_tpu.physics.dynamics import State
 _einsum = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 
-def _fk(model, states):
+def _fk(model, states, actor_scale=None):
     """Batched FK: component-form (envs dense in lanes) by default; the
-    vmapped per-body tree walk stays behind ASE_TPU_FK_AOS=1 for A/B."""
-    if os.environ.get("ASE_TPU_FK_AOS", "0") == "1":
+    vmapped per-body tree walk stays behind ASE_TPU_FK_AOS=1 for A/B
+    (the AoS oracle predates the actor-scale DR knob and ignores it)."""
+    if os.environ.get("ASE_TPU_FK_AOS", "0") == "1" and actor_scale is None:
         return jax.vmap(lambda s: dynamics.fk(model, s))(states)
-    return dynamics2.fk_batched(model, states)
+    return dynamics2.fk_batched(model, states, actor_scale=actor_scale)
 
 
 class SimConfig(NamedTuple):
@@ -131,7 +132,7 @@ def _chol_solve_batched(L: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
 
 
 def _detect_contacts(model: M.Model, cfg: SimConfig, tables, states: State,
-                     kin, friction_scale):
+                     kin, friction_scale, actor_scale=None):
     """Narrow phase + active-contact selection for the current pose.
 
     Called ONCE per sim tick (not per substep): PhysX TGS likewise runs one
@@ -150,6 +151,7 @@ def _detect_contacts(model: M.Model, cfg: SimConfig, tables, states: State,
             model, tables.soa, kin.body_quat, kin.body_pos, states.prop_quat,
             states.prop_pos, cfg.max_contacts, margin=margin,
             friction_scale=friction_scale if per_body_fs else None,
+            actor_scale=actor_scale,
         )
         if per_body_fs:
             return contacts
@@ -168,14 +170,15 @@ def _detect_contacts(model: M.Model, cfg: SimConfig, tables, states: State,
 def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
                      actions: jnp.ndarray, friction_scale, gain_scale,
                      mass_scale=None, gravity_scale=None, damping_scale=None,
-                     restitution=None, kin=None, contacts=None):
+                     restitution=None, actor_scale=None, kin=None,
+                     contacts=None):
     h = cfg.dt / cfg.substeps
     nu = model.nu
     Bn = actions.shape[0]
 
     if kin is None:
-        kin = _fk(model, states)
-    if os.environ.get("ASE_TPU_DYNAMICS_AOS", "0") == "1":
+        kin = _fk(model, states, actor_scale=actor_scale)
+    if os.environ.get("ASE_TPU_DYNAMICS_AOS", "0") == "1" and actor_scale is None:
         dyn_ref = jax.vmap(
             lambda s, k: dynamics.compute_dynamics(model, s, k, h)
         )(states, kin)
@@ -193,7 +196,7 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
         M_bl, bias, Phi = dynamics2.compute_dynamics_batch_last(
             model, states, kin, h,
             mass_scale=mass_scale, gravity_scale=gravity_scale,
-            damping_scale=damping_scale,
+            damping_scale=damping_scale, actor_scale=actor_scale,
         )
     Amask = jnp.asarray(dynamics.ancestor_mask(model))
 
@@ -249,7 +252,8 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
     # callers / per-substep A/B mode)
     if contacts is None:
         contacts = _detect_contacts(
-            model, cfg, tables, states, kin, friction_scale)
+            model, cfg, tables, states, kin, friction_scale,
+            actor_scale=actor_scale)
 
     use_cg = (
         cfg.solver.scheme == "jacobi"
@@ -417,13 +421,17 @@ def _substep_batched(model: M.Model, cfg: SimConfig, tables, states: State,
 def step_batched(model: M.Model, cfg: SimConfig, tables, states: State,
                  actions: jnp.ndarray, friction_scale=None, gain_scale=None,
                  mass_scale=None, gravity_scale=None, damping_scale=None,
-                 restitution=None, kin0=None) -> StepOut:
+                 restitution=None, actor_scale=None, kin0=None) -> StepOut:
     """Advance one sim tick (cfg.substeps solver substeps), batched envs.
 
     friction/gain/mass/gravity/damping_scale and restitution are per-env
     domain-randomization knobs (reference base_task.py:306-386
     apply_randomizations: rigid_shape friction/restitution, dof
-    stiffness/damping, rigid_body mass, sim gravity).
+    stiffness/damping, rigid_body mass, sim gravity). ``actor_scale`` is the
+    whole-actor geometric scale (reference gym.set_actor_scale,
+    base_task.py:346-355): link offsets and humanoid geom sizes x s, mass
+    x s^3, rotational inertia x s^5; ``kin0`` passed in must come from the
+    same-scaled FK.
 
     ``kin0`` is an optional precomputed FK of ``states`` (e.g. the ``kin``
     field of the previous tick's StepOut); passing it skips one full-batch
@@ -435,23 +443,24 @@ def step_batched(model: M.Model, cfg: SimConfig, tables, states: State,
     if gain_scale is None:
         gain_scale = jnp.ones(B)
 
-    kin = kin0 if kin0 is not None else _fk(model, states)
+    kin = kin0 if kin0 is not None else _fk(model, states, actor_scale=actor_scale)
     # ONE narrow phase per tick at the pre-tick pose (PhysX-TGS cadence:
     # substeps iterate against a persistent contact set); per-substep
     # redetection behind ASE_TPU_COLLISION_PER_SUBSTEP=1 for A/B
     per_substep = os.environ.get("ASE_TPU_COLLISION_PER_SUBSTEP", "0") == "1"
     contacts0 = None if per_substep else _detect_contacts(
-        model, cfg, tables, states, kin, friction_scale)
+        model, cfg, tables, states, kin, friction_scale,
+        actor_scale=actor_scale)
 
     def body(carry, _):
         st, kin, _, _ = carry
         st, forces, tau = _substep_batched(
             model, cfg, tables, st, actions, friction_scale, gain_scale,
             mass_scale=mass_scale, gravity_scale=gravity_scale,
-            damping_scale=damping_scale, restitution=restitution, kin=kin,
-            contacts=contacts0,
+            damping_scale=damping_scale, restitution=restitution,
+            actor_scale=actor_scale, kin=kin, contacts=contacts0,
         )
-        return (st, _fk(model, st), forces, tau), None
+        return (st, _fk(model, st, actor_scale=actor_scale), forces, tau), None
 
     init_forces = jnp.zeros((B, model.nb + model.num_props, 3))
     init_tau = jnp.zeros((B, model.nd))

