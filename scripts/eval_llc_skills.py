@@ -16,8 +16,8 @@ Three measurements on the shipped LLC checkpoint:
    fraction of envs that return to standing within the recovery window
    (reference humanoid_amp_getup.py:42-76 fall generation).
 
-Writes a section to docs/VALIDATION.md and the raw per-latent arrays to
-docs/validation_llc_skills.json.
+Writes the stats + raw per-latent arrays to docs/validation_llc_skills.json
+(the docs/VALIDATION.md §"LLC skill space" section is curated from them).
 
 Usage: python -u scripts/eval_llc_skills.py [--envs 256] [--steps 300]
 """
@@ -88,7 +88,10 @@ def fixed_latent_rollout(env, agent, ts, z, steps, rng, env_state=None,
             enc_r = agent._calc_enc_rewards(ts, amp_obs, z)[:, 0]
             root_v = env_state.phys.u[:, 0:2]
             root_z = env_state.phys.root_pos[:, 2]
-            fallen = (env_state.reset_buf > 0).astype(jnp.float32)
+            # terminate_buf only (falls / contact failures) — reset_buf also
+            # fires on the episode-length timeout, which at steps >= max
+            # episode length would count every latent by construction
+            fallen = (env_state.terminate_buf > 0).astype(jnp.float32)
             acc = (
                 acc[0] + disc_r, acc[1] + enc_r, acc[2] + root_v,
                 acc[3] + fallen, jnp.maximum(acc[4], root_z),
@@ -117,14 +120,16 @@ def fixed_latent_rollout(env, agent, ts, z, steps, rng, env_state=None,
     }
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=256)
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--getup-envs", type=int, default=512)
     ap.add_argument("--getup-steps", type=int, default=150)
     ap.add_argument("--llc", type=str, default=LLC)
-    args = ap.parse_args()
+    ap.add_argument("--out", type=str,
+                    default=os.path.join(_ROOT, "docs/validation_llc_skills.json"))
+    args = ap.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
@@ -161,12 +166,21 @@ def main():
             "p90": float(np.percentile(x, 90)),
         }
 
+    # a handful of latents can destabilize the solver (mean root speed tens
+    # of m/s); publish BOTH the raw spread and a stable-subset spread so the
+    # diversity claim is not carried by blow-ups
+    stable = speed < 5.0
+    vs, ps = vel[stable], pair[np.ix_(stable, stable)]
+    ius = np.triu_indices(int(stable.sum()), 1)
     stats = {
         "n_latents": args.envs, "steps": args.steps,
         "disc_reward": q(disc), "enc_reward": q(enc),
         "speed": q(speed),
         "vel_std_over_latents": [float(s) for s in vel.std(axis=0)],
         "mean_pairwise_vel_dist": float(pair[iu].mean()),
+        "n_unstable_latents_speed_gt_5": int((~stable).sum()),
+        "stable_vel_std_over_latents": [float(s) for s in vs.std(axis=0)],
+        "stable_mean_pairwise_vel_dist": float(ps[ius].mean()),
         "fall_frac": float((sweep["fall_count"] > 0).mean()),
     }
 
@@ -217,9 +231,10 @@ def main():
             "mean_vel": vel.tolist(),
         },
     }
-    with open(os.path.join(_ROOT, "docs/validation_llc_skills.json"), "w") as f:
+    with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(stats, indent=1))
+    return stats
 
 
 if __name__ == "__main__":

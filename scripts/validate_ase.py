@@ -101,6 +101,8 @@ def run(args):
 
     tag = args.mode if args.mode == "ase" else (
         "hrl_" + args.task.replace("Humanoid", "").lower())
+    if args.tag_suffix:
+        tag = f"{tag}_{args.tag_suffix}"
 
     env = parse_task(task, cfg)
     agent = agent_cls(env, cfg_train)
@@ -176,6 +178,9 @@ def main():
     p.add_argument("--motion", default=DATASET)
     p.add_argument("--llc", default="data/models/ase_llc_reallusion_sword_shield.ckpt.npz")
     p.add_argument("--ckpt-out", default="")
+    p.add_argument("--tag-suffix", default="",
+                   help="suffix for the history json tag (write a fresh curve "
+                        "next to an existing one for overlay comparisons)")
     p.add_argument("--no-doc", action="store_true",
                    help="skip the VALIDATION.md append (checkpoint-production "
                         "reruns of already-documented configs)")
