@@ -317,6 +317,8 @@ class Humanoid:
         for i, x in enumerate(leaves):
             if not (hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == B):
                 continue
+            if x.size == 0:
+                continue  # zero-sized leaves pass through (no device kernel)
             if jnp.issubdtype(x.dtype, jnp.floating) and x.dtype == jnp.float32:
                 f_idx.append(i)
             else:
@@ -350,6 +352,13 @@ class Humanoid:
             off += n
         for i in o_idx:
             out[i] = leaves[i][idx]
+        # zero-sized per-env leaves are skipped by _leaf_split (their gather
+        # kernels cost pure dispatch); keep the chunk's batch dim consistent
+        # with free constants instead
+        for i, x in enumerate(leaves):
+            if (hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == B
+                    and x.size == 0):
+                out[i] = jnp.zeros((idx.shape[0],) + x.shape[1:], x.dtype)
         sub = jax.tree_util.tree_unflatten(treedef, out).replace(rng=rng)
         # hand the packed full-size matrix to the paired scatter so the
         # (B, D) concat of every float leaf is built once per reset, not twice
@@ -536,6 +545,11 @@ def _masked_merge_phys(state: EnvState, new_state: EnvState, mask: jnp.ndarray) 
     """
 
     def merge(a, b):
+        if hasattr(a, "size") and a.size == 0:
+            # zero-sized leaves (e.g. prop state with num_props == 0) still
+            # dispatch a ~20 us device kernel per select; skip them (trace:
+            # ~14 ms/epoch of empty-array copies at 4096 envs)
+            return a
         m = mask.reshape(mask.shape + (1,) * (a.ndim - 1))
         return jnp.where(m, b, a)
 

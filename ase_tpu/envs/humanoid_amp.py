@@ -166,7 +166,8 @@ class HumanoidAMP(Humanoid):
                 bern = jax.random.uniform(keys[1], (B,)) < self._hybrid_init_prob
                 default_phys = self.default_phys_state(B)
                 phys = jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(
+                    lambda a, b: a if (hasattr(a, "size") and a.size == 0)
+                    else jnp.where(
                         bern.reshape((B,) + (1,) * (a.ndim - 1)), a, b
                     ),
                     ref_phys, default_phys,

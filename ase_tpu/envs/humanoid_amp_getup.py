@@ -88,9 +88,13 @@ class HumanoidAMPGetup(HumanoidAMP):
 
         # fall-state candidates: random cached fall pose
         idx = jax.random.randint(keys[2], (B,), 0, self.num_envs)
-        fall_phys = jax.tree_util.tree_map(lambda x: x[idx], self._fall_states)
+        fall_phys = jax.tree_util.tree_map(
+            lambda x: x if (hasattr(x, "size") and x.size == 0) else x[idx],
+            self._fall_states)
 
         def pick(base, fallv, cur):
+            if hasattr(base, "size") and base.size == 0:
+                return base  # skip zero-sized leaves (empty prop state)
             m_f = fall.reshape((B,) + (1,) * (base.ndim - 1))
             m_r = recovery.reshape((B,) + (1,) * (base.ndim - 1))
             out = jnp.where(m_f, fallv, base)

@@ -528,14 +528,20 @@ def detect_batched(
 
     k = min(max_contacts, depth.shape[1])
     Bn, C = depth.shape
-    feats = jnp.stack(
-        [
-            depth, px, py, pz, nx, ny, nz, mu,
-            jnp.broadcast_to(ba.astype(jnp.float32)[None, :], (Bn, C)),
-            jnp.broadcast_to(bb_.astype(jnp.float32)[None, :], (Bn, C)),
-        ],
-        axis=1,
-    )                                                   # (B, 10, C): C in lanes
+    chans = [
+        depth, px, py, pz, nx, ny, nz, mu,
+        jnp.broadcast_to(ba.astype(jnp.float32)[None, :], (Bn, C)),
+        jnp.broadcast_to(bb_.astype(jnp.float32)[None, :], (Bn, C)),
+    ]
+    if os.environ.get("ASE_TPU_FEATS_STACK", "0") == "1":
+        # legacy: jnp.stack(axis=1) lowers to a concatenate of (B, 1, C)
+        # slices — single-sublane writes with ~8x write amplification
+        # (trace: 0.26 ms/call at C=367 plus T(1,128) feeder copies)
+        feats = jnp.stack(chans, axis=1)                # (B, 10, C): C in lanes
+    else:
+        # identical tensor via a lane-dim concatenate + contiguous reshape:
+        # one aligned pass (see docs/PERF.md round-5 feats-build A/B)
+        feats = jnp.concatenate(chans, axis=1).reshape(Bn, len(chans), C)
     # one-hot matmul instead of take_along_axis: row-wise dynamic gathers are
     # slow on TPU, a (K, C) x (C, F) contraction rides the MXU
     # HIGHEST precision: each output has exactly one nonzero term, but the
