@@ -12,6 +12,7 @@ run inside jit as masked merges, so RSI happens on-device mid-rollout
 from __future__ import annotations
 
 import enum
+import os
 from typing import Any, Dict, Tuple
 
 import jax
@@ -139,26 +140,59 @@ class HumanoidAMP(Humanoid):
         )
 
     def _sample_ref_init(self, rng: jnp.ndarray, B: int):
+        """Sample RSI states; by default also the AMP history frames.
+
+        The reference issues two motion queries per reset: the RSI frame
+        (humanoid_amp.py:160-186) and the (steps-1) history frames at -dt
+        offsets (humanoid_amp.py:220-236). The reset path is dispatch-bound
+        on TPU, so the default fuses both into ONE ``get_motion_state`` of
+        B*steps rows (identical row inputs through row-wise kernels — exactly
+        equal eager; under jit the different fusion reassociates fp at the
+        ~ulp level); the history block is stashed in a transient aux key for
+        ``_init_amp_obs``. ``ASE_TPU_SPLIT_RESET_QUERY=1`` restores the
+        two-query layout (parity oracle).
+
+        Returns (phys, motion_ids, motion_times, hist_amp_or_None).
+        """
         k1, k2 = jax.random.split(rng)
         motion_ids = ml.sample_motions(self._motion_lib, k1, B)
         if self._state_init == StateInit.Start:
             motion_times = jnp.zeros(B)
         else:
             motion_times = ml.sample_time(self._motion_lib, k2, motion_ids)
-        ms = ml.get_motion_state(self._motion_lib, motion_ids, motion_times)
-        return self._ref_state_phys(ms), motion_ids, motion_times
+        if os.environ.get("ASE_TPU_SPLIT_RESET_QUERY", "0") == "1":
+            ms = ml.get_motion_state(self._motion_lib, motion_ids, motion_times)
+            return self._ref_state_phys(ms), motion_ids, motion_times, None
+        steps = self._num_amp_obs_steps
+        ids = jnp.tile(motion_ids[:, None], (1, steps)).reshape(-1)
+        offs = -self.dt * jnp.arange(steps)
+        times = (motion_times[:, None] + offs[None, :]).reshape(-1)
+        ms = ml.get_motion_state(self._motion_lib, ids, times)
+        ms0 = {
+            k: v.reshape((B, steps) + v.shape[1:])[:, 0] for k, v in ms.items()
+        }
+        # amp obs on all B*steps rows (row-wise kernel: rows 1.. match the
+        # split path's history build exactly); slice off the RSI row
+        hist = obs_kernels.build_amp_observations(
+            ms["root_pos"], ms["root_rot"], ms["root_vel"], ms["root_ang_vel"],
+            ms["dof_pos"], ms["dof_vel"], ms["key_pos"],
+            self._local_root_obs, self._root_height_obs, self.model.dof_offsets,
+        ).reshape(B, steps, -1)[:, 1:]
+        return self._ref_state_phys(ms0), motion_ids, motion_times, hist
 
     def _reset_actors(self, state: EnvState, mask) -> Tuple[EnvState, jnp.ndarray]:
         B = mask.shape[0]
         state, keys = self.split_rng(state, 2)
 
+        hist_amp = None
         if self._state_init == StateInit.Default:
             phys = self.default_phys_state(B)
             ref_mask = jnp.zeros(B, bool)
             motion_ids = jnp.zeros(B, jnp.int32)
             motion_times = jnp.zeros(B)
         else:
-            ref_phys, motion_ids, motion_times = self._sample_ref_init(keys[0], B)
+            ref_phys, motion_ids, motion_times, hist_amp = self._sample_ref_init(
+                keys[0], B)
             if self._state_init in (StateInit.Start, StateInit.Random):
                 phys = ref_phys
                 ref_mask = jnp.ones(B, bool)
@@ -178,6 +212,10 @@ class HumanoidAMP(Humanoid):
         aux["reset_ref_mask"] = ref_mask & mask
         aux["reset_motion_ids"] = motion_ids
         aux["reset_motion_times"] = motion_times
+        if hist_amp is not None:
+            # transient: consumed (and popped) by _init_amp_obs before the
+            # chunked reset scatters the sub-state back (treedefs must match)
+            aux["_reset_hist_amp"] = hist_amp
         new_state = state.replace(phys=phys, aux=aux)
         return new_state, mask
 
@@ -204,16 +242,25 @@ class HumanoidAMP(Humanoid):
         ref_mask = state.aux["reset_ref_mask"]
         steps = self._num_amp_obs_steps
 
-        # history from the motion at -dt offsets for ref-init envs
-        ids = jnp.tile(state.aux["reset_motion_ids"][:, None], (1, steps - 1)).reshape(-1)
-        offs = -self.dt * (jnp.arange(steps - 1) + 1)
-        times = (state.aux["reset_motion_times"][:, None] + offs[None, :]).reshape(-1)
-        ms = ml.get_motion_state(self._motion_lib, ids, times)
-        hist_ref = obs_kernels.build_amp_observations(
-            ms["root_pos"], ms["root_rot"], ms["root_vel"], ms["root_ang_vel"],
-            ms["dof_pos"], ms["dof_vel"], ms["key_pos"],
-            self._local_root_obs, self._root_height_obs, self.model.dof_offsets,
-        ).reshape(B, steps - 1, -1)
+        aux = dict(state.aux)
+        hist_ref = aux.pop("_reset_hist_amp", None)
+        if hist_ref is None:
+            # split path (ASE_TPU_SPLIT_RESET_QUERY=1, Default init, or
+            # subclasses that bypass _sample_ref_init): history from the
+            # motion at -dt offsets for ref-init envs
+            ids = jnp.tile(
+                state.aux["reset_motion_ids"][:, None], (1, steps - 1)
+            ).reshape(-1)
+            offs = -self.dt * (jnp.arange(steps - 1) + 1)
+            times = (
+                state.aux["reset_motion_times"][:, None] + offs[None, :]
+            ).reshape(-1)
+            ms = ml.get_motion_state(self._motion_lib, ids, times)
+            hist_ref = obs_kernels.build_amp_observations(
+                ms["root_pos"], ms["root_rot"], ms["root_vel"], ms["root_ang_vel"],
+                ms["dof_pos"], ms["dof_vel"], ms["key_pos"],
+                self._local_root_obs, self._root_height_obs, self.model.dof_offsets,
+            ).reshape(B, steps - 1, -1)
 
         hist_default = jnp.tile(curr[:, None, :], (1, steps - 1, 1))
 
@@ -222,6 +269,5 @@ class HumanoidAMP(Humanoid):
         new_buf = jnp.concatenate([curr[:, None], new_hist], axis=1)
         buf = jnp.where(mask[:, None, None], new_buf, buf)
 
-        aux = dict(state.aux)
         aux["amp_obs"] = buf
         return state.replace(aux=aux)

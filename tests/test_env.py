@@ -111,6 +111,39 @@ def test_reset_advances_rng_and_aux(amp_env):
     assert not np.allclose(buf[:, 0], buf[:, 5])
 
 
+def test_fused_reset_query_parity(amp_env, monkeypatch):
+    """The default fused B*steps-row reset motion query feeds the same row
+    inputs through the same row-wise kernels as the reference's two-query
+    layout (RSI frame + history frames, ASE_TPU_SPLIT_RESET_QUERY=1):
+    exactly equal eager; under jit the two graphs fuse differently, so allow
+    XLA reassociation noise (~2 ulp) but nothing row-shaped."""
+    state = amp_env.initial_state(jax.random.PRNGKey(11))
+    state = state.replace(reset_buf=jnp.ones(4, jnp.int32))
+    monkeypatch.delenv("ASE_TPU_SPLIT_RESET_QUERY", raising=False)
+    e_fused = amp_env.reset_done(state)
+    s_fused = jax.jit(amp_env.reset_done)(state)
+    monkeypatch.setenv("ASE_TPU_SPLIT_RESET_QUERY", "1")
+    e_split = amp_env.reset_done(state)
+    s_split = jax.jit(amp_env.reset_done)(state)
+    # eager: bit-identical (same math, same op order)
+    np.testing.assert_array_equal(
+        np.asarray(e_fused.aux["amp_obs"]), np.asarray(e_split.aux["amp_obs"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(e_fused.phys.root_pos), np.asarray(e_split.phys.root_pos)
+    )
+    # jit: fusion-level fp noise only — a row misalignment would be O(1e-2)
+    np.testing.assert_allclose(
+        np.asarray(s_fused.aux["amp_obs"]), np.asarray(s_split.aux["amp_obs"]),
+        atol=1e-6, rtol=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_fused.obs), np.asarray(s_split.obs), atol=1e-6, rtol=0
+    )
+    # no transient key leaks into the post-reset state
+    assert "_reset_hist_amp" not in s_fused.aux
+
+
 def test_fetch_amp_obs_demo(amp_env):
     demo = amp_env.fetch_amp_obs_demo(jax.random.PRNGKey(4), 8)
     assert demo.shape == (8, 1400)
