@@ -120,9 +120,10 @@ class Humanoid:
         self._build_pd_action_offset_scale()
         self._build_termination_heights()
 
-        # chunked partial resets: per rollout step only `resetChunk` envs are
-        # reset (gather -> reset -> scatter); bursts larger than the chunk
-        # spill to the next step. 0 = full-batch masked resets.
+        # chunked partial resets: reset work runs on `resetChunk`-sized
+        # gathered sub-batches (gather -> reset -> scatter); bursts larger
+        # than the chunk drain via repeated passes within the same step
+        # (see reset_done). 0 = full-batch masked resets.
         self.reset_chunk = int(env_cfg.get("resetChunk", 0))
 
         # domain randomization (reference base_task.py:204-398; --randomize)
@@ -277,31 +278,58 @@ class Humanoid:
         With `resetChunk` set, reset work (motion-library gathers, candidate
         state construction, AMP history init) runs on a fixed-size gathered
         sub-batch instead of all envs — a large rollout speedup since only a
-        handful of envs reset on a typical step."""
+        handful of envs reset on a typical step. When more than one chunk of
+        envs is flagged at once (a reset storm: e.g. Strike's contact-failure
+        termination early in HLC training kills most of the batch in a few
+        steps), a drain loop repeats chunk passes until the queue is empty —
+        the reference resets ALL done envs in the same step
+        (humanoid.py reset_idx on the full done set), and envs left flagged
+        across steps would re-log a 1-step game and cut value bootstrapping
+        every step while waiting."""
         chunk = self.reset_chunk
         if chunk and chunk < self.num_envs:
-            # compact the flagged env ids into the chunk with a cumsum rank
-            # (a full-width argsort cost ~0.7 ms/step at 4096 envs; the
-            # scatter-compaction is a fused elementwise+scatter). Overflow
-            # beyond the chunk spills to later steps exactly as before;
-            # unfilled slots alias env 0, whose reset_buf==0 rows pass
-            # through _reset_envs' masked merges unchanged.
-            flag = state.reset_buf > 0
-            rank = jnp.cumsum(flag) - 1
-            pos = jnp.where(flag, rank, chunk)
-            idx = (jnp.zeros(chunk, jnp.int32)
-                   .at[pos].set(jnp.arange(self.num_envs, dtype=jnp.int32),
-                                mode="drop"))
-            # slots beyond the number of flagged envs alias env 0 (the
-            # scatter default): never reset them and drop their write-back,
-            # or a genuinely-resetting env 0 would race its own duplicates
-            valid = jnp.arange(chunk) < jnp.minimum(jnp.sum(flag), chunk)
-            sub, pack = self._gather_env_state(state, idx, return_pack=True)
-            sub = self._reset_envs(sub, (sub.reset_buf > 0) & valid)
-            return self._scatter_env_state(
-                state, sub, jnp.where(valid, idx, self.num_envs), pack=pack)
+            # first pass unconditional (the common case: #flagged <= chunk;
+            # keeping it outside the drain loop lets XLA overlap it with the
+            # surrounding rollout step as before)
+            state = self._reset_chunk_pass(state, chunk)
+            # drain loop for the storm case only — body never executes when
+            # one pass cleared the queue, so the steady-state cost is a
+            # single cheap any() reduce on the flags
+            # (ASE_TPU_RESET_DRAIN=0 restores the old spill-to-later-steps
+            # behavior as a perf A/B oracle)
+            if os.environ.get("ASE_TPU_RESET_DRAIN", "1") == "1":
+                state = jax.lax.while_loop(
+                    lambda s: jnp.any(s.reset_buf > 0),
+                    lambda s: self._reset_chunk_pass(s, chunk),
+                    state,
+                )
+            return state
         mask = state.reset_buf > 0
         return self._reset_envs(state, mask)
+
+    def _reset_chunk_pass(self, state: EnvState, chunk: int) -> EnvState:
+        """One fixed-size chunked reset pass over the first `chunk` flagged
+        envs (by env index).
+
+        Compacts the flagged env ids into the chunk with a cumsum rank (a
+        full-width argsort cost ~0.7 ms/step at 4096 envs; the
+        scatter-compaction is a fused elementwise+scatter). Unfilled slots
+        alias env 0, whose reset_buf==0 rows pass through _reset_envs'
+        masked merges unchanged."""
+        flag = state.reset_buf > 0
+        rank = jnp.cumsum(flag) - 1
+        pos = jnp.where(flag, rank, chunk)
+        idx = (jnp.zeros(chunk, jnp.int32)
+               .at[pos].set(jnp.arange(self.num_envs, dtype=jnp.int32),
+                            mode="drop"))
+        # slots beyond the number of flagged envs alias env 0 (the
+        # scatter default): never reset them and drop their write-back,
+        # or a genuinely-resetting env 0 would race its own duplicates
+        valid = jnp.arange(chunk) < jnp.minimum(jnp.sum(flag), chunk)
+        sub, pack = self._gather_env_state(state, idx, return_pack=True)
+        sub = self._reset_envs(sub, (sub.reset_buf > 0) & valid)
+        return self._scatter_env_state(
+            state, sub, jnp.where(valid, idx, self.num_envs), pack=pack)
 
     # Per-leaf gather/scatter dispatches ~60 kernels per rollout step (~30
     # EnvState leaves x 2) — measured 3.3 ms/step at 4096 envs, dispatch-

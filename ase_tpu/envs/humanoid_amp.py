@@ -144,13 +144,17 @@ class HumanoidAMP(Humanoid):
 
         The reference issues two motion queries per reset: the RSI frame
         (humanoid_amp.py:160-186) and the (steps-1) history frames at -dt
-        offsets (humanoid_amp.py:220-236). The reset path is dispatch-bound
-        on TPU, so the default fuses both into ONE ``get_motion_state`` of
-        B*steps rows (identical row inputs through row-wise kernels — exactly
-        equal eager; under jit the different fusion reassociates fp at the
-        ~ulp level); the history block is stashed in a transient aux key for
-        ``_init_amp_obs``. ``ASE_TPU_SPLIT_RESET_QUERY=1`` restores the
-        two-query layout (parity oracle).
+        offsets (humanoid_amp.py:220-236). That two-query layout is the
+        DEFAULT. ``ASE_TPU_FUSED_RESET_QUERY=1`` fuses both into ONE
+        ``get_motion_state`` of B*steps rows (identical row inputs through
+        row-wise kernels — exactly equal eager; under jit the different
+        fusion reassociates fp at the ~ulp level), stashing the history
+        block in a transient aux key for ``_init_amp_obs``. The fused form
+        measured ≈ noise on single-chip (docs/PERF.md) and BREAKS 2-process
+        multi-host CPU training (the per-process GSPMD compiles diverge on
+        the reshaped-sharded-dim query and deadlock Gloo context init —
+        tests/test_multihost.py fails deterministically with it on), so it
+        is opt-in for single-host experiments only.
 
         Returns (phys, motion_ids, motion_times, hist_amp_or_None).
         """
@@ -160,7 +164,7 @@ class HumanoidAMP(Humanoid):
             motion_times = jnp.zeros(B)
         else:
             motion_times = ml.sample_time(self._motion_lib, k2, motion_ids)
-        if os.environ.get("ASE_TPU_SPLIT_RESET_QUERY", "0") == "1":
+        if os.environ.get("ASE_TPU_FUSED_RESET_QUERY", "0") != "1":
             ms = ml.get_motion_state(self._motion_lib, motion_ids, motion_times)
             return self._ref_state_phys(ms), motion_ids, motion_times, None
         steps = self._num_amp_obs_steps
@@ -245,9 +249,9 @@ class HumanoidAMP(Humanoid):
         aux = dict(state.aux)
         hist_ref = aux.pop("_reset_hist_amp", None)
         if hist_ref is None:
-            # split path (ASE_TPU_SPLIT_RESET_QUERY=1, Default init, or
-            # subclasses that bypass _sample_ref_init): history from the
-            # motion at -dt offsets for ref-init envs
+            # split path (the default, Default init, or subclasses that
+            # bypass _sample_ref_init): history from the motion at -dt
+            # offsets for ref-init envs
             ids = jnp.tile(
                 state.aux["reset_motion_ids"][:, None], (1, steps - 1)
             ).reshape(-1)

@@ -112,17 +112,19 @@ def test_reset_advances_rng_and_aux(amp_env):
 
 
 def test_fused_reset_query_parity(amp_env, monkeypatch):
-    """The default fused B*steps-row reset motion query feeds the same row
-    inputs through the same row-wise kernels as the reference's two-query
-    layout (RSI frame + history frames, ASE_TPU_SPLIT_RESET_QUERY=1):
-    exactly equal eager; under jit the two graphs fuse differently, so allow
-    XLA reassociation noise (~2 ulp) but nothing row-shaped."""
+    """The opt-in fused B*steps-row reset motion query
+    (ASE_TPU_FUSED_RESET_QUERY=1, single-host experiments only — it breaks
+    multi-host GSPMD, see humanoid_amp._sample_ref_init) feeds the same row
+    inputs through the same row-wise kernels as the reference's default
+    two-query layout (RSI frame + history frames): exactly equal eager;
+    under jit the two graphs fuse differently, so allow XLA reassociation
+    noise (~2 ulp) but nothing row-shaped."""
     state = amp_env.initial_state(jax.random.PRNGKey(11))
     state = state.replace(reset_buf=jnp.ones(4, jnp.int32))
-    monkeypatch.delenv("ASE_TPU_SPLIT_RESET_QUERY", raising=False)
+    monkeypatch.setenv("ASE_TPU_FUSED_RESET_QUERY", "1")
     e_fused = amp_env.reset_done(state)
     s_fused = jax.jit(amp_env.reset_done)(state)
-    monkeypatch.setenv("ASE_TPU_SPLIT_RESET_QUERY", "1")
+    monkeypatch.delenv("ASE_TPU_FUSED_RESET_QUERY", raising=False)
     e_split = amp_env.reset_done(state)
     s_split = jax.jit(amp_env.reset_done)(state)
     # eager: bit-identical (same math, same op order)
@@ -191,9 +193,10 @@ if __name__ == "__main__":
 
 
 def test_chunked_reset_compaction():
-    """Chunked reset_done resets exactly the flagged envs (up to the chunk),
-    spills the rest, and leaves unflagged envs untouched — including the
-    env-0 aliasing corner of the scatter compaction."""
+    """Chunked reset_done resets ALL flagged envs in one call (draining
+    multi-chunk storms within the step, like the reference's full-width
+    reset_idx) and leaves unflagged envs untouched — including the env-0
+    aliasing corner of the scatter compaction."""
     cfg = make_cfg(numEnvs=8, resetChunk=4, stateInit="Default")
     env = parse_task("HumanoidAMP", cfg)
     state = env.initial_state(jax.random.PRNGKey(0))
@@ -209,8 +212,28 @@ def test_chunked_reset_compaction():
     np.testing.assert_array_equal(
         np.asarray(out.phys.root_pos[1]), np.asarray(state.phys.root_pos[1]))
 
-    # more flagged than the chunk: exactly chunk reset, rest spill
+    # reset storm: more flagged than the chunk. The drain loop must clear
+    # the whole queue in ONE reset_done call — spilled envs would re-log a
+    # 1-step game and cut value bootstrapping every step while waiting
+    # (observed live: Strike HLC training pinned at game_length 1.0 when
+    # contact-failure terminations exceeded the chunk).
     out2 = jax.jit(env.reset_done)(state.replace(reset_buf=jnp.ones(8, jnp.int32)))
     prog2 = np.asarray(out2.progress)
-    assert int(np.sum(prog2 == 0)) == 4
-    assert int(np.sum(np.asarray(out2.reset_buf) > 0)) == 4
+    assert int(np.sum(prog2 == 0)) == 8
+    assert np.all(np.asarray(out2.reset_buf) == 0)
+
+
+def test_reset_storm_drains_partial_overflow():
+    """Storm drain with a non-multiple-of-chunk queue (7 flagged, chunk 2):
+    all flagged envs reset, the unflagged one bit-identical."""
+    cfg = make_cfg(numEnvs=8, resetChunk=2, stateInit="Random")
+    env = parse_task("HumanoidAMP", cfg)
+    state = env.initial_state(jax.random.PRNGKey(1))
+    before3 = np.asarray(state.phys.root_pos[3]).copy()
+    flags = jnp.ones(8, jnp.int32).at[3].set(0)
+    out = jax.jit(env.reset_done)(
+        state.replace(reset_buf=flags, progress=jnp.full(8, 19, jnp.int32)))
+    assert np.all(np.asarray(out.reset_buf) == 0)
+    prog = np.asarray(out.progress)
+    assert prog[3] == 19 and int(np.sum(prog == 0)) == 7
+    np.testing.assert_array_equal(np.asarray(out.phys.root_pos[3]), before3)

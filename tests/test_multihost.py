@@ -59,7 +59,17 @@ def test_run_multi_host_two_processes(tmp_path):
             "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
             "JAX_NUM_PROCESSES": "2",
             "JAX_PROCESS_ID": str(rank),
-            "JAX_COMPILATION_CACHE_DIR": "/root/.cache/jax_comp_cpu",
+            # NO persistent compile cache for this test. Measured across 7
+            # runs: every run where both ranks compiled fresh passed (the
+            # multi-second compile gaps act as barriers that keep the two
+            # processes' Gloo context-id assignment in lockstep); every
+            # cache-hit run failed with Gloo context-init DEADLINE_EXCEEDED
+            # / TCP connect timeouts — the cache-served executables start
+            # executing asynchronously right after startup and the ranks
+            # rendezvous on mismatched context keys within Gloo's hard 30 s
+            # init deadline. Fresh compiles cost ~4 min/rank on this box and
+            # make the test deterministic.
+            "JAX_COMPILATION_CACHE_DIR": "",
         })
         log = open(tmp_path / f"rank{rank}.log", "w")
         logs.append(log)
