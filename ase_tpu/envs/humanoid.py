@@ -79,8 +79,16 @@ class Humanoid:
             dt=self.sim_dt,
             substeps=int(sim.get("substeps", 2)),
             solver=engine.solver.SolverConfig(
-                iterations=int(env_cfg.get(
-                    "solverIterations", 4 * int(physx.get("num_position_iterations", 4))
+                # ASE_TPU_SOLVER_ITERS: perf A/B override of the block-Jacobi
+                # iteration count (the matvec chain is dispatch-bound, so
+                # iterations are the cost knob; default 4x the cfg's PhysX
+                # position iterations, 16 == 24 on standing accuracy)
+                iterations=int(os.environ.get(
+                    "ASE_TPU_SOLVER_ITERS",
+                    env_cfg.get(
+                        "solverIterations",
+                        4 * int(physx.get("num_position_iterations", 4)),
+                    ),
                 )),
                 scheme=str(env_cfg.get("solverScheme", "jacobi")),
                 max_depenetration_velocity=float(
